@@ -1,0 +1,50 @@
+"""Simulation configuration.
+
+The reference hard-codes its physics constants as C preprocessor defines
+(nbody/nbody-seq.c:22-27).  Here they live in a frozen dataclass that is
+hashable, so it can be passed as a static argument through ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+# Reference constants (nbody/nbody-seq.c:22-27).  BOUNCE=-0.9 is defined in the
+# reference but never used — the wall bounce is a plain velocity negation.
+GRAVITY = 1.1
+FRICTION = 0.01
+MAXBODIES = 10000
+DELTA_T = 0.025 / 5000
+SEED = 27102015
+
+ForceMode = Literal["trig", "fast"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static simulation parameters.
+
+    Attributes:
+      xdim, ydim: arena dimensions (taken from the P6 PPM header in the
+        reference, nbody/nbody-seq.c:431).
+      gravity / friction / dt: physics constants.
+      force_mode: ``"trig"`` reproduces the reference's transcendental force
+        decomposition ``force * cos(atan2(dy, dx))`` bit-for-bit semantics
+        (nbody/nbody-seq.c:91-98) — required for golden-output parity.
+        ``"fast"`` uses the algebraically equal ``force * dx * rsqrt(dsqr)``,
+        which is the TPU speed-of-light path (no transcendentals).
+      dtype: element type for device computation.  Parity runs use float64 on
+        CPU; TPU runs use float32.
+    """
+
+    xdim: int = 1024
+    ydim: int = 768
+    gravity: float = GRAVITY
+    friction: float = FRICTION
+    dt: float = DELTA_T
+    force_mode: ForceMode = "trig"
+    dtype: str = "float64"
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,56 @@
+"""Velocity / position update (semi-implicit order) with friction and wall
+bounce.
+
+Reference semantics:
+  - compute_velocities (nbody-seq.c:114-130): speed-proportional drag
+    ``|v| * FRICTION`` applied opposite ``atan2(yv, xv)``, then
+    ``v += (f / m) * dt``.
+  - compute_positions (nbody-seq.c:135-165): ``x_new = x + v_new * dt`` using
+    the JUST-updated velocity; wall bounce clamps to ``0`` (low) or
+    ``dim - 1`` (high, asymmetric!) and negates the velocity component.
+
+``mode="trig"`` keeps the reference's ``cos(atan2(yv, xv))`` drag projection
+for bit-parity.  ``mode="fast"`` uses the identity
+``|v| * cos(atan2(yv, xv)) == xv`` so drag is simply ``FRICTION * v`` —
+algebraically identical and transcendental-free.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import SimConfig
+
+
+def compute_velocities(cfg: SimConfig, xv, yv, xf, yf, mass):
+    if cfg.force_mode == "trig":
+        speed = jnp.sqrt(xv * xv + yv * yv) * cfg.friction
+        angle = jnp.arctan2(yv, xv)
+        fx = xf - speed * jnp.cos(angle)
+        fy = yf - speed * jnp.sin(angle)
+    else:
+        fx = xf - cfg.friction * xv
+        fy = yf - cfg.friction * yv
+    inv_m = 1.0 / mass
+    return xv + fx * inv_m * cfg.dt, yv + fy * inv_m * cfg.dt
+
+
+def compute_positions(cfg: SimConfig, x, y, xv, yv):
+    """Returns (x_new, y_new, xv_new, yv_new) after the wall bounce."""
+    dtype = x.dtype
+    xn = x + xv * cfg.dt
+    yn = y + yv * cfg.dt
+
+    lo_x = xn < 0
+    hi_x = xn >= cfg.xdim
+    xn = jnp.where(lo_x, jnp.zeros((), dtype),
+                   jnp.where(hi_x, jnp.asarray(cfg.xdim - 1, dtype), xn))
+    xv = jnp.where(lo_x | hi_x, -xv, xv)
+
+    lo_y = yn < 0
+    hi_y = yn >= cfg.ydim
+    yn = jnp.where(lo_y, jnp.zeros((), dtype),
+                   jnp.where(hi_y, jnp.asarray(cfg.ydim - 1, dtype), yn))
+    yv = jnp.where(lo_y | hi_y, -yv, yv)
+
+    return xn, yn, xv, yv
