@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Headline benchmark: pairwise interactions/second on one chip.
+
+Runs the flagship fused step (Pallas force kernel + integration, fp32,
+transcendental-free) at N=65536 fully on-device and reports unordered
+pairwise interactions per second.
+
+Baseline: the reference's best published throughput — N=10000, P=128 cores
+on DAS-5 completes 100 steps in 11.23 s (PDF Table 3; BASELINE.md), i.e.
+4.45e8 pair interactions/s for the ENTIRE 128-core cluster.  vs_baseline is
+our single-chip rate over that cluster-wide rate.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+
+def main():
+    from parallel_nbody_tpu.config import SimConfig
+    from parallel_nbody_tpu.models.engine import run
+    from parallel_nbody_tpu.state import random_state
+
+    n = 65536
+    steps = 100
+    cfg = SimConfig(force_mode="fast", dtype="float32", kernel="pallas")
+    if jax.default_backend() == "cpu":
+        # CI/debug fallback: tiny config so the benchmark still runs.
+        n, steps = 4096, 10
+        cfg = cfg.replace(kernel="xla")
+
+    state = random_state(n, cfg, jax.random.PRNGKey(0))
+
+    # Warm-up: compile + one full execution (device readback defeats any
+    # execution caching between identical dispatches).
+    out = run(cfg, state, steps)
+    _ = np.asarray(out.x)
+
+    t0 = time.time()
+    out = run(cfg, out, steps)
+    _ = np.asarray(out.x)  # forces completion through the transfer path
+    rtime = time.time() - t0
+
+    if not np.isfinite(np.asarray(out.x)).all():
+        print(json.dumps({"error": "non-finite state"}))
+        return 1
+
+    pairs = n * (n - 1) // 2 * steps
+    rate = pairs / rtime
+    baseline_cluster_rate = 4.45e8  # reference best, whole 128-core cluster
+    print(json.dumps({
+        "metric": f"pairwise interactions/s/chip (N={n}, fused fp32 Pallas step)",
+        "value": round(rate, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(rate / baseline_cluster_rate, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

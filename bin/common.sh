@@ -1,0 +1,30 @@
+# Shared harness helpers (sourced by the bin/ scripts).
+# TPU-native analog of the reference's prun-based harness (bin/tests.sh etc.):
+# "ranks" become --devices=K shards of the body axis; tests run on a virtual
+# multi-device CPU mesh so they need no real multi-chip hardware.
+
+REPO_ROOT="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
+export PYTHONPATH="$REPO_ROOT${PYTHONPATH:+:$PYTHONPATH}"
+
+NBODY="python -m parallel_nbody_tpu.cli"
+
+# Virtual 8-device CPU mesh unless the caller picked a platform explicitly.
+nbody_cpu() {
+  JAX_PLATFORMS=cpu \
+  XLA_FLAGS="--xla_force_host_platform_device_count=8 ${XLA_FLAGS:-}" \
+  python -m parallel_nbody_tpu.cli "$@"
+}
+
+# Ensure an arena PPM exists (the reference ships a GIMP-made 1024x768 P6;
+# we generate ours).
+ensure_arena() {
+  local path="${1:-$REPO_ROOT/nbody.ppm}"
+  if [ ! -f "$path" ]; then
+    python -c "
+from parallel_nbody_tpu.utils import ppm
+ppm.create('$path', 1024, 768)
+print('created $path (P6 1024x768)')
+"
+  fi
+  echo "$path"
+}

@@ -1,0 +1,223 @@
+"""Command-line driver with the reference's argv contract.
+
+Reference CLI (nbody-seq.c:386-499, nbody-par.c:768-978):
+
+    num_bodies secs_per_update ppm_output_file steps
+        [--run-xps] [--openmp] [--measure-comm]
+
+plus TPU-era extensions (all optional, order-free):
+
+    --devices=K       shard the body axis over K devices (default: all)
+    --comm=MODE       "allgather" (default) or "ring" (ppermute streaming)
+    --fast            transcendental-free force path (fp32/TPU speed path)
+    --dtype=T         float32 | float64 (default: float64 on CPU, float32 on TPU)
+    --no-clamp        allow N > 10000 (the reference clamps to MAXBODIES)
+    --checkpoint=PATH save final state as .npz
+    --resume=PATH     restore state from .npz and continue
+
+Behavioral contract preserved exactly:
+  - bodyCt clamped to [2, 10000] with the reference's stderr messages
+  - arena dims parsed from the P6 header
+  - stderr: "Running N-body with %i bodies and %i steps"
+  - stdout: final state (%10.3f x 6) or, under --run-xps, the CSV row
+  - stderr: "\nN-body took: %.3f seconds" + "Performance N-body: %.2f GFLOPS"
+  - secs_per_update > 0: frame rendered into the PPM when wall-clock elapsed
+    exceeds it (display+msync analog)
+  - --openmp is accepted for CLI parity; intra-chip parallelism is always on
+    (VPU lanes are the OpenMP analog)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from .config import MAXBODIES, SimConfig
+
+
+def _fail_usage(prog: str) -> None:
+    sys.stderr.write(
+        "Usage: %s num_bodies secs_per_update ppm_output_file steps "
+        "[--run-xps]\n" % prog)
+    sys.exit(1)
+
+
+def parse_args(argv):
+    if len(argv) < 5:
+        _fail_usage(argv[0])
+    opts = {
+        "run_xps": False, "openmp": False, "measure_comm": False,
+        "devices": None, "comm": "allgather", "fast": False,
+        "dtype": None, "no_clamp": False, "checkpoint": None, "resume": None,
+    }
+    for a in argv[5:]:
+        if a == "--run-xps":
+            opts["run_xps"] = True
+        elif a == "--openmp":
+            opts["openmp"] = True
+        elif a == "--measure-comm":
+            opts["measure_comm"] = True
+        elif a.startswith("--devices="):
+            opts["devices"] = int(a.split("=", 1)[1])
+        elif a.startswith("--comm="):
+            opts["comm"] = a.split("=", 1)[1]
+        elif a == "--fast":
+            opts["fast"] = True
+        elif a.startswith("--dtype="):
+            opts["dtype"] = a.split("=", 1)[1]
+        elif a == "--no-clamp":
+            opts["no_clamp"] = True
+        elif a.startswith("--checkpoint="):
+            opts["checkpoint"] = a.split("=", 1)[1]
+        elif a.startswith("--resume="):
+            opts["resume"] = a.split("=", 1)[1]
+        else:
+            sys.stderr.write("Unknown flag: %s\n" % a)
+            sys.exit(1)
+    n = int(argv[1])
+    if not opts["no_clamp"]:
+        if n > MAXBODIES:
+            sys.stderr.write("Using only %d bodies...\n" % MAXBODIES)
+            n = MAXBODIES
+        elif n < 2:
+            sys.stderr.write("Using two bodies...\n")
+            n = 2
+    secsup = int(argv[2])
+    ppm_path = argv[3]
+    steps = int(argv[4])
+    return n, secsup, ppm_path, steps, opts
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv if argv is None else argv)
+    n, secsup, ppm_path, steps, opts = parse_args(argv)
+
+    import jax
+
+    platform = jax.default_backend()
+    if opts["dtype"] is None:
+        opts["dtype"] = "float64" if platform == "cpu" else "float32"
+    if opts["dtype"] == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    from .models.engine import run
+    from .parallel.mesh import make_mesh, shard_state
+    from .parallel.sharded_step import make_sharded_run
+    from .state import init_state, pad_state, unpad_state
+    from .utils import checkpoint as ckpt
+    from .utils import ppm as ppmio
+    from .utils.output import (format_state, nr_flops, xps_csv_par,
+                               xps_csv_seq)
+
+    try:
+        ppm = ppmio.read_header(ppm_path)
+    except (OSError, ppmio.PPMError) as e:
+        sys.stderr.write("Cannot read %s: %s\n" % (ppm_path, e))
+        return 1
+
+    cfg = SimConfig(
+        xdim=ppm.xdim, ydim=ppm.ydim,
+        force_mode="fast" if opts["fast"] else "trig",
+        dtype=opts["dtype"],
+    )
+
+    sys.stderr.write("Running N-body with %i bodies and %i steps\n"
+                     % (n, steps))
+
+    if opts["resume"]:
+        state, start_step = ckpt.load_state(opts["resume"], cfg)
+        if state.n != n:
+            sys.stderr.write("Checkpoint has %d bodies, expected %d\n"
+                             % (state.n, n))
+            return 1
+    else:
+        state, start_step = init_state(n, cfg), 0
+    remaining = max(0, steps - start_step)
+
+    n_dev = opts["devices"] or len(jax.devices())
+    multi = n_dev > 1
+    if multi:
+        mesh = make_mesh(n_dev)
+        state, n_real = pad_state(state, n_dev)
+        state = shard_state(state, mesh)
+        runner_cache = {}
+
+        def run_chunk(st, k):
+            if k not in runner_cache:
+                runner_cache[k] = make_sharded_run(cfg, mesh, k, opts["comm"])
+            return runner_cache[k](st)
+    else:
+        n_real = n
+
+        def run_chunk(st, k):
+            return run(cfg, st, k)
+
+    # Warm-up compile outside the timed region (the reference times pure
+    # simulation work; XLA compilation is a one-time cost, nbody-par
+    # brackets with MPI_Barrier similarly).
+    comm_time = 0.0
+    render_fn = None
+    if secsup > 0:
+        from .ops.render import render_frame
+
+        def render_fn(st):
+            frame = render_frame(cfg, st.x, st.y, st.radius, n_real)
+            ppmio.write_pixels(ppm, np.asarray(jax.device_get(frame)))
+
+    if opts["measure_comm"] and opts["run_xps"] and multi:
+        from .utils.timing import measure_comm_fraction
+        comm_time_per_step = measure_comm_fraction(
+            cfg, mesh, state, opts["comm"])
+    else:
+        comm_time_per_step = 0.0
+
+    run_chunk(state, 0 if remaining == 0 else 1)  # compile small
+    t0 = time.time()
+    if secsup > 0 and remaining > 0:
+        # Host-chunked loop so wall-clock-driven frame updates can fire
+        # (reference main loop, nbody-seq.c:457-472).
+        lastup = 0.0
+        done = 0
+        chunk = max(1, min(1000, remaining // 20 or 1))
+        while done < remaining:
+            k = min(chunk, remaining - done)
+            state = run_chunk(state, k)
+            done += k
+            if time.time() - lastup > secsup:
+                jax.block_until_ready(state)
+                render_fn(state)
+                lastup = time.time()
+    elif remaining > 0:
+        state = run_chunk(state, remaining)
+    jax.block_until_ready(state)
+    rtime = time.time() - t0
+    comm_time = comm_time_per_step * remaining
+
+    flops = nr_flops(n, steps)
+    gflops = flops / 1e9 / rtime if rtime > 0 else float("nan")
+
+    if multi:
+        state = unpad_state(jax.device_get(state), n_real)
+
+    if opts["checkpoint"]:
+        ckpt.save_state(opts["checkpoint"], state, steps)
+
+    if not opts["run_xps"]:
+        sys.stdout.write(format_state(state))
+    elif multi:
+        # SIZE,NODES,CPUS_PER_NODE,... -> (total chips, hosts, chips/host).
+        nodes = max(1, jax.process_count())
+        sys.stdout.write(xps_csv_par(n_dev, nodes, n_dev // nodes, n,
+                                     rtime, comm_time, gflops) + "\n")
+    else:
+        sys.stdout.write(xps_csv_seq(n, rtime, gflops) + "\n")
+
+    sys.stderr.write("\nN-body took: %.3f seconds\n" % rtime)
+    sys.stderr.write("Performance N-body: %.2f GFLOPS\n" % gflops)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -36,6 +36,11 @@ class SimConfig:
         which is the TPU speed-of-light path (no transcendentals).
       dtype: element type for device computation.  Parity runs use float64 on
         CPU; TPU runs use float32.
+      kernel: ``"xla"`` uses the dense XLA formulation (fusion-friendly at
+        small/medium N); ``"pallas"`` tiles the interaction matrix through
+        VMEM with the hand-written TPU kernel (ops/pallas_step.py) — required
+        beyond ~16K bodies where the dense (N, N) matrix stops fitting.
+      tile_i / tile_j: Pallas row/column tile sizes.
     """
 
     xdim: int = 1024
@@ -45,6 +50,9 @@ class SimConfig:
     dt: float = DELTA_T
     force_mode: ForceMode = "trig"
     dtype: str = "float64"
+    kernel: Literal["xla", "pallas"] = "xla"
+    tile_i: int = 1024
+    tile_j: int = 1024
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)

@@ -23,8 +23,14 @@ from ..state import State
 
 def step(cfg: SimConfig, state: State) -> State:
     """One simulation step (force -> velocity -> position)."""
-    xf, yf = compute_forces_dense(cfg, state.x, state.y, state.mass,
-                                  state.radius)
+    if cfg.kernel == "pallas":
+        from ..ops.pallas_step import pallas_forces
+        xf, yf = pallas_forces(cfg, state.x, state.y, state.mass,
+                               state.radius, tile_i=cfg.tile_i,
+                               tile_j=cfg.tile_j)
+    else:
+        xf, yf = compute_forces_dense(cfg, state.x, state.y, state.mass,
+                                      state.radius)
     xv, yv = compute_velocities(cfg, state.xv, state.yv, xf, yf, state.mass)
     x, y, xv, yv = compute_positions(cfg, state.x, state.y, xv, yv)
     return State(x, y, xv, yv, xf, yf, state.mass, state.radius)

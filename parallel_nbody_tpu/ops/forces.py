@@ -102,6 +102,52 @@ def _forces_fast_block(cfg, xi, yi, mi, xj, yj, mj, ri, rj, *, same_block):
     return jnp.sum(scale * dx, axis=1), jnp.sum(scale * dy, axis=1)
 
 
+def forces_block_vs_full(cfg: SimConfig, x_blk, y_blk, m_blk, r_blk,
+                         x_full, y_full, m_full, r_full, blk_offset):
+    """Force on an owned body block from ALL bodies (gathered full arrays).
+
+    This is the sharded analog of nbody-par.c:285-359: the owned block's
+    internal pairs use the once-per-pair triangle accumulation (parity with
+    the sequential program), while owned-vs-remote pairs are one-sided.
+    ``blk_offset`` (traced) is the block's global starting index.
+
+    In "fast" mode the whole thing is a single one-sided pass with the
+    self-pair diagonal masked.
+    """
+    shard = x_blk.shape[0]
+    n = x_full.shape[0]
+    dtype = x_blk.dtype
+    cols = lax.broadcasted_iota(jnp.int32, (shard, n), 1)
+    zero = jnp.zeros((), dtype)
+
+    if cfg.force_mode == "trig":
+        dx = x_full[None, :] - x_blk[:, None]
+        dy = y_full[None, :] - y_blk[:, None]
+        angle = jnp.arctan2(dy, dx)
+        dsqr = dx * dx + dy * dy
+        mind = r_blk[:, None] + r_full[None, :]
+        forced = jnp.maximum(jnp.maximum(dsqr, mind * mind), _DENOM_FLOOR)
+        force = m_blk[:, None] * m_full[None, :] * cfg.gravity / forced
+        own = (cols >= blk_offset) & (cols < blk_offset + shard)
+        force = jnp.where(own, zero, force)
+        xf = jnp.sum(force * jnp.cos(angle), axis=1)
+        yf = jnp.sum(force * jnp.sin(angle), axis=1)
+        fx, fy = pair_forces_trig(cfg, x_blk, y_blk, m_blk, r_blk)
+        return (xf + jnp.sum(fx, axis=1) - jnp.sum(fx, axis=0),
+                yf + jnp.sum(fy, axis=1) - jnp.sum(fy, axis=0))
+
+    rows = lax.broadcasted_iota(jnp.int32, (shard, n), 0)
+    dx = x_full[None, :] - x_blk[:, None]
+    dy = y_full[None, :] - y_blk[:, None]
+    dsqr = dx * dx + dy * dy
+    mind = r_blk[:, None] + r_full[None, :]
+    forced = jnp.maximum(jnp.maximum(dsqr, mind * mind), _DENOM_FLOOR)
+    inv_r = jnp.where(dsqr > 0, lax.rsqrt(jnp.maximum(dsqr, _DENOM_FLOOR)), 0)
+    scale = m_blk[:, None] * m_full[None, :] * cfg.gravity / forced * inv_r
+    scale = jnp.where(cols == rows + blk_offset, zero, scale)
+    return jnp.sum(scale * dx, axis=1), jnp.sum(scale * dy, axis=1)
+
+
 def forces_on_block(cfg: SimConfig, xi, yi, mi, ri, xj, yj, mj, rj,
                     same_block: bool):
     """Public block-on-block force (used by the sharded and ring paths)."""

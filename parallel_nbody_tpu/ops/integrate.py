@@ -31,7 +31,8 @@ def compute_velocities(cfg: SimConfig, xv, yv, xf, yf, mass):
     else:
         fx = xf - cfg.friction * xv
         fy = yf - cfg.friction * yv
-    inv_m = 1.0 / mass
+    # Zero-mass padding bodies (pad_state) must stay inert: guard the 1/m.
+    inv_m = jnp.where(mass > 0, 1.0 / mass, jnp.zeros((), xv.dtype))
     return xv + fx * inv_m * cfg.dt, yv + fy * inv_m * cfg.dt
 
 

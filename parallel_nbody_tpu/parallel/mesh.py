@@ -1,0 +1,46 @@
+"""Device mesh construction and sharding helpers.
+
+The reference's process topology (MPI ranks launched by prun, block body
+decomposition via get_recvcounts/get_displacements/get_bounds,
+nbody-par.c:225-263) becomes a 1-D ``jax.sharding.Mesh`` over the body axis.
+The remainder-handling recvcounts logic disappears: the body axis is padded to
+a shard multiple (``state.pad_state``) so every device owns an equal block —
+the XLA-friendly equivalent of variable counts.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+BODY_AXIS = "bodies"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D mesh over the body axis.
+
+    On a real TPU slice the devices are ordered so neighboring shards sit on
+    ICI neighbors (JAX's default device order for a 1-D mesh follows the
+    torus); on CPU this is the virtual-device list.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (BODY_AXIS,))
+
+
+def body_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(BODY_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_state(state, mesh: Mesh):
+    """Place every state array body-sharded on the mesh (the Bcast+scatter
+    analog; requires state.n % mesh size == 0 — use pad_state first)."""
+    sh = body_sharding(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, sh), state)

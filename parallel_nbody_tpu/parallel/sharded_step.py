@@ -1,0 +1,139 @@
+"""Multi-chip simulation step via shard_map over a 1-D body mesh.
+
+TPU-native re-design of the reference's MPI layer (nbody-par.c):
+
+  MPI_Bcast of the full world (:874)        -> mass/radius all-gathered ONCE
+                                               per run (they never change);
+                                               positions start sharded.
+  per-step MPI_Allgatherv of 10-double      -> per-step lax.all_gather of ONLY
+  body structs (:913-917)                      x and y (2 floats/body) over ICI
+  block partitioner recvcounts/displs       -> equal shards via pad_state
+  owned-triangle + owned-x-remote forces    -> ops.forces.forces_block_vs_full
+  OpenMP loop sharding (:273,302,...)       -> VPU lanes / Pallas tiles
+
+Two communication strategies:
+
+  comm="allgather" — materialize all positions on every chip each step
+    (the reference's scheme; memory O(N) per chip, one collective per step).
+
+  comm="ring" — lax.ppermute streams body blocks around the ICI ring while
+    each chip accumulates partial forces block-by-block (ring-attention-shaped
+    all-pairs; memory O(N/P) per chip — the scaling path to N >= 1M).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import SimConfig
+from ..ops.forces import forces_block_vs_full, forces_on_block
+from ..ops.integrate import compute_positions, compute_velocities
+from ..state import State
+from .mesh import BODY_AXIS
+
+_SPEC = P(BODY_AXIS)
+
+
+def _local_forces_allgather(cfg, x, y, m_blk, r_blk, m_full, r_full):
+    """Per-shard force computation with a full positional all-gather."""
+    shard = x.shape[0]
+    my = lax.axis_index(BODY_AXIS)
+    x_full = lax.all_gather(x, BODY_AXIS, tiled=True)
+    y_full = lax.all_gather(y, BODY_AXIS, tiled=True)
+    return forces_block_vs_full(cfg, x, y, m_blk, r_blk,
+                                x_full, y_full, m_full, r_full,
+                                my * shard)
+
+
+def _local_forces_ring(cfg, x, y, m_blk, r_blk):
+    """Per-shard force computation streaming blocks around the ring.
+
+    Each chip keeps only O(N/P) state.  At ring step s the chip holds the
+    block originally owned by device (my + s) mod P; it accumulates that
+    block's pull on its own bodies, then forwards the visiting block to its
+    left neighbor (so blocks travel the ring once).  The visiting-block
+    ppermute is independent of the force computation for the current block,
+    letting XLA overlap communication with compute.
+    """
+    p = lax.axis_size(BODY_AXIS)
+    perm = [(i, (i - 1) % p) for i in range(p)]  # send left, receive from right
+
+    def body(s, carry):
+        vx, vy, vm, vr, xf, yf = carry
+        same = s == 0
+
+        # Forces from the visiting block.  ``same_block`` needs the triangle
+        # accumulation only in trig mode; dispatch statically on the mode and
+        # dynamically on s via lax.cond (shapes identical on both branches).
+        def own_block(_):
+            return forces_on_block(cfg, x, y, m_blk, r_blk,
+                                   x, y, m_blk, r_blk, same_block=True)
+
+        def remote_block(_):
+            return forces_on_block(cfg, x, y, m_blk, r_blk,
+                                   vx, vy, vm, vr, same_block=False)
+
+        dxf, dyf = lax.cond(same, own_block, remote_block, None)
+
+        nvx = lax.ppermute(vx, BODY_AXIS, perm)
+        nvy = lax.ppermute(vy, BODY_AXIS, perm)
+        nvm = lax.ppermute(vm, BODY_AXIS, perm)
+        nvr = lax.ppermute(vr, BODY_AXIS, perm)
+        return nvx, nvy, nvm, nvr, xf + dxf, yf + dyf
+
+    zeros = jnp.zeros_like(x)
+    _, _, _, _, xf, yf = lax.fori_loop(
+        0, p, body, (x, y, m_blk, r_blk, zeros, zeros))
+    return xf, yf
+
+
+def _sharded_run_local(cfg: SimConfig, steps: int, comm: str,
+                       x, y, xv, yv, xf, yf, m, r):
+    """The per-device program (body of shard_map)."""
+    if comm == "allgather":
+        # Masses/radii are constant: gather them once (the Bcast analog).
+        m_full = lax.all_gather(m, BODY_AXIS, tiled=True)
+        r_full = lax.all_gather(r, BODY_AXIS, tiled=True)
+
+    def body(_, carry):
+        x, y, xv, yv, xf, yf = carry
+        if comm == "allgather":
+            xf, yf = _local_forces_allgather(cfg, x, y, m, r, m_full, r_full)
+        else:
+            xf, yf = _local_forces_ring(cfg, x, y, m, r)
+        xv, yv = compute_velocities(cfg, xv, yv, xf, yf, m)
+        x, y, xv, yv = compute_positions(cfg, x, y, xv, yv)
+        return x, y, xv, yv, xf, yf
+
+    x, y, xv, yv, xf, yf = lax.fori_loop(
+        0, steps, body, (x, y, xv, yv, xf, yf))
+    return x, y, xv, yv, xf, yf, m, r
+
+
+def make_sharded_run(cfg: SimConfig, mesh: Mesh, steps: int,
+                     comm: str = "allgather"):
+    """Build a jitted multi-chip runner: State (body-sharded, padded to the
+    mesh size) -> State after ``steps`` steps, entirely on-device."""
+    assert comm in ("allgather", "ring")
+    local = functools.partial(_sharded_run_local, cfg, steps, comm)
+    sharded = shard_map(local, mesh=mesh,
+                        in_specs=(_SPEC,) * 8, out_specs=(_SPEC,) * 8)
+
+    @jax.jit
+    def run_sharded(state: State) -> State:
+        return State(*sharded(*state))
+
+    return run_sharded
+
+
+def make_sharded_step(cfg: SimConfig, mesh: Mesh, comm: str = "allgather"):
+    """Single sharded step (used by the driver's dryrun and by callers that
+    need per-step control, e.g. frame rendering)."""
+    runner = make_sharded_run(cfg, mesh, 1, comm)
+    return runner

@@ -1,0 +1,103 @@
+"""Instrumentation: wall-clock timing and communication-share measurement.
+
+The reference brackets its per-step MPI_Allgatherv with MPI_Wtime under
+``--measure-comm`` (nbody-par.c:912-918).  Under XLA the collective is fused
+into one compiled program, so instead we time a comm-only program (the same
+gathers, nothing else) and report its per-step cost — the async-dispatch-aware
+analog of the bracket.  For deeper analysis use jax.profiler traces
+(``trace`` below).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from ..config import SimConfig
+from .output import nr_flops, pair_interactions
+
+
+def measure_comm_fraction(cfg: SimConfig, mesh, state, comm: str,
+                          iters: int = 30) -> float:
+    """Per-step communication time (seconds) of the sharded step's collective.
+
+    Times a jitted loop containing only the per-step collective (positional
+    all-gather, or the full ppermute ring) over the same sharded arrays.
+    """
+    from ..parallel.mesh import BODY_AXIS
+
+    spec = P(BODY_AXIS)
+
+    def local(x, y):
+        def body(_, carry):
+            x, y = carry
+            if comm == "allgather":
+                xg = lax.all_gather(x, BODY_AXIS, tiled=True)
+                yg = lax.all_gather(y, BODY_AXIS, tiled=True)
+                shard = x.shape[0]
+                me = lax.axis_index(BODY_AXIS)
+                # Data-dependent slice back to the shard so the gather can't
+                # be folded away.
+                x = lax.dynamic_slice_in_dim(xg, me * shard, shard)
+                y = lax.dynamic_slice_in_dim(yg, me * shard, shard)
+            else:
+                p = lax.axis_size(BODY_AXIS)
+                perm = [(i, (i - 1) % p) for i in range(p)]
+
+                def ring(_, c):
+                    vx, vy = c
+                    return (lax.ppermute(vx, BODY_AXIS, perm),
+                            lax.ppermute(vy, BODY_AXIS, perm))
+
+                x, y = lax.fori_loop(0, p, ring, (x, y))
+            return x, y
+
+        return lax.fori_loop(0, iters, body, (x, y))
+
+    f = jax.jit(jax.shard_map(local, mesh=mesh,
+                              in_specs=(spec, spec), out_specs=(spec, spec)))
+    jax.block_until_ready(f(state.x, state.y))  # compile
+    t0 = time.time()
+    jax.block_until_ready(f(state.x, state.y))
+    return (time.time() - t0) / iters
+
+
+class StepTimer:
+    """Wall-clock timing + the reference's throughput accounting."""
+
+    def __init__(self, n: int, steps: int):
+        self.n = n
+        self.steps = steps
+        self.rtime = 0.0
+
+    def __enter__(self):
+        self._t0 = time.time()
+        return self
+
+    def __exit__(self, *exc):
+        self.rtime = time.time() - self._t0
+        return False
+
+    @property
+    def gflops(self) -> float:
+        return nr_flops(self.n, self.steps) / 1e9 / self.rtime
+
+    @property
+    def interactions_per_sec(self) -> float:
+        return pair_interactions(self.n, self.steps) / self.rtime
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """jax.profiler trace context (the deep-profiling path the reference
+    lacks; view with TensorBoard / xprof)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

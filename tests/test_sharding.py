@@ -1,0 +1,79 @@
+"""Sharding-grid invariance — the TPU analog of the reference's NP-grid
+differential tests (bin/run-tests.sh: every NP in 1..8 must byte-match the
+sequential oracle).  Here: 1/2/4/8-way body shards on a virtual CPU mesh must
+produce output identical to the single-device fp64 run (and hence to the
+golden fixtures).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from parallel_nbody_tpu.config import SimConfig
+from parallel_nbody_tpu.models.engine import run
+from parallel_nbody_tpu.parallel.mesh import make_mesh, shard_state
+from parallel_nbody_tpu.parallel.sharded_step import make_sharded_run
+from parallel_nbody_tpu.state import init_state, pad_state, unpad_state
+from parallel_nbody_tpu.utils.output import format_state
+
+CFG = SimConfig(xdim=1024, ydim=768, force_mode="trig", dtype="float64")
+STEPS = 100
+N = 96  # deliberately not a multiple of 8 to exercise padding
+
+
+def _run_sharded(n_dev, comm, cfg=CFG, n=N, steps=STEPS):
+    mesh = make_mesh(n_dev)
+    st = init_state(n, cfg)
+    padded, n_real = pad_state(st, n_dev)
+    padded = shard_state(padded, mesh)
+    out = make_sharded_run(cfg, mesh, steps, comm)(padded)
+    return unpad_state(jax.device_get(out), n_real)
+
+
+@pytest.fixture(scope="module")
+def seq_output():
+    return format_state(run(CFG, init_state(N, CFG), STEPS))
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+def test_allgather_invariance(n_dev, seq_output):
+    out = _run_sharded(n_dev, "allgather")
+    assert format_state(out) == seq_output
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_ring_invariance(n_dev, seq_output):
+    out = _run_sharded(n_dev, "ring")
+    assert format_state(out) == seq_output
+
+
+def test_sharded_matches_golden_fixture():
+    path = "/root/reference/tests/128_MY_REF_OUTPUT"
+    if not os.path.exists(path):
+        pytest.skip("golden fixture unavailable")
+    out = _run_sharded(8, "allgather", n=128, steps=1000)
+    assert format_state(out) == open(path).read()
+
+
+def test_fast_mode_sharded_close_to_seq():
+    cfg = CFG.replace(force_mode="fast")
+    seq = run(cfg, init_state(N, cfg), STEPS)
+    out = _run_sharded(4, "ring", cfg=cfg)
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(seq.x),
+                               rtol=1e-9, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out.yv), np.asarray(seq.yv),
+                               rtol=1e-9, atol=1e-7)
+
+
+def test_padding_bodies_stay_inert():
+    mesh = make_mesh(8)
+    st = init_state(10, CFG)  # pads 10 -> 16
+    padded, n_real = pad_state(st, 8)
+    padded = shard_state(padded, mesh)
+    out = jax.device_get(make_sharded_run(CFG, mesh, 50, "allgather")(padded))
+    assert n_real == 10
+    np.testing.assert_array_equal(np.asarray(out.mass[n_real:]), 0.0)
+    np.testing.assert_array_equal(np.asarray(out.xv[n_real:]), 0.0)
