@@ -6,10 +6,10 @@ across cores).  Design:
 
   - Body arrays live in VMEM as (1, N) vectors (lane-major layout); at any
     parity-relevant N (up to ~256K) all four fit comfortably.
-  - The grid walks row tiles of the N x N interaction matrix; each program
-    computes the total force on TILE_I bodies by sweeping column tiles of
-    TILE_J bodies with a fori_loop, keeping every intermediate
-    (TILE_I, TILE_J) block in VMEM/registers.
+  - The grid walks row tiles of the interaction matrix; each program computes
+    the total force on TILE_I bodies by sweeping column tiles of TILE_J
+    bodies with a fori_loop, keeping every intermediate (TILE_I, TILE_J)
+    block in VMEM/registers.
   - Transcendental-free except ONE rsqrt per pair:
         scale = m_j * rsqrt(forced^2 * dsqr)
     which equals m_j / (forced * |d|); the row factor G * m_i is applied once
@@ -18,6 +18,11 @@ across cores).  Design:
     rsqrt(eps-floored 0) -> huge but finite, then scale * dx == 0; far-away
     padding overflows forced^2*dsqr to +inf and rsqrt(inf) == 0.
   - Softening ``max(dsqr, (r_i+r_j)^2)`` exactly as in the reference.
+
+The kernel is rectangular (row block x column block), so the same code path
+serves the single-chip square case, the sharded all-gather case (local rows x
+gathered columns) and the ppermute ring case (local rows x visiting block) —
+the TPU analogs of the reference's owned-x-owned / owned-x-remote split.
 
 One-sided accumulation (each row tile sums over ALL columns) follows the
 reference's cross-rank redundancy model (nbody-par.c:302-308) rather than
@@ -40,22 +45,24 @@ from jax.experimental.pallas import tpu as pltpu
 _EPS = 1e-30
 
 
-def _force_kernel(x_ref, y_ref, m_ref, r_ref, xf_ref, yf_ref,
-                  *, tile_i: int, tile_j: int, n: int, gravity: float):
+def _force_kernel(xi_ref, yi_ref, mi_ref, ri_ref,
+                  xj_ref, yj_ref, mj_ref, rj_ref,
+                  xf_ref, yf_ref,
+                  *, tile_i: int, tile_j: int, n_cols: int, gravity: float):
     i = pl.program_id(0)
     row0 = i * tile_i
 
-    xi = x_ref[0, pl.ds(row0, tile_i)].reshape(tile_i, 1)
-    yi = y_ref[0, pl.ds(row0, tile_i)].reshape(tile_i, 1)
-    ri = r_ref[0, pl.ds(row0, tile_i)].reshape(tile_i, 1)
+    xi = xi_ref[0, pl.ds(row0, tile_i)].reshape(tile_i, 1)
+    yi = yi_ref[0, pl.ds(row0, tile_i)].reshape(tile_i, 1)
+    ri = ri_ref[0, pl.ds(row0, tile_i)].reshape(tile_i, 1)
 
     def col_step(j, acc):
         acc_x, acc_y = acc
         col0 = j * tile_j
-        xj = x_ref[0, pl.ds(col0, tile_j)].reshape(1, tile_j)
-        yj = y_ref[0, pl.ds(col0, tile_j)].reshape(1, tile_j)
-        mj = m_ref[0, pl.ds(col0, tile_j)].reshape(1, tile_j)
-        rj = r_ref[0, pl.ds(col0, tile_j)].reshape(1, tile_j)
+        xj = xj_ref[0, pl.ds(col0, tile_j)].reshape(1, tile_j)
+        yj = yj_ref[0, pl.ds(col0, tile_j)].reshape(1, tile_j)
+        mj = mj_ref[0, pl.ds(col0, tile_j)].reshape(1, tile_j)
+        rj = rj_ref[0, pl.ds(col0, tile_j)].reshape(1, tile_j)
 
         dx = xj - xi
         dy = yj - yi
@@ -70,44 +77,174 @@ def _force_kernel(x_ref, y_ref, m_ref, r_ref, xf_ref, yf_ref,
         acc_y = acc_y + jnp.sum(scale * dy, axis=1, keepdims=True)
         return acc_x, acc_y
 
-    zeros = jnp.zeros((tile_i, 1), x_ref.dtype)
-    acc_x, acc_y = lax.fori_loop(0, n // tile_j, col_step, (zeros, zeros))
+    zeros = jnp.zeros((tile_i, 1), xi_ref.dtype)
+    acc_x, acc_y = lax.fori_loop(0, n_cols // tile_j, col_step,
+                                 (zeros, zeros))
 
     # Row factor G * m_i applied once after the reduction.
-    mi = m_ref[0, pl.ds(row0, tile_i)].reshape(tile_i, 1)
-    gmi = mi * gravity
+    gmi = mi_ref[0, pl.ds(row0, tile_i)].reshape(tile_i, 1) * gravity
     xf_ref[0, pl.ds(row0, tile_i)] = (acc_x * gmi).reshape(tile_i)
     yf_ref[0, pl.ds(row0, tile_i)] = (acc_y * gmi).reshape(tile_i)
 
 
-def pallas_forces(cfg, x, y, mass, radius, *, tile_i: int = 256,
-                  tile_j: int = 2048, interpret: bool = False):
-    """Total pairwise forces via the Pallas kernel.
+def pallas_block_forces(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
+                        tile_i: int = 1024, tile_j: int = 1024,
+                        interpret: bool = False):
+    """Force of every body in block J on every body in block I (one-sided,
+    fast mode).  Block I of size M, block J of size K; requires M % tile_i ==
+    0 and K % tile_j == 0 (use state.pad_state)."""
+    import math
 
-    Requires N to be a multiple of the tile sizes (use state.pad_state).
-    One-sided accumulation over all columns; self-pairs contribute zero.
-    """
-    n = x.shape[0]
-    tile_i = min(tile_i, n)
-    tile_j = min(tile_j, n)
-    assert n % tile_i == 0 and n % tile_j == 0, (n, tile_i, tile_j)
-    dtype = x.dtype
+    m = xi.shape[0]
+    k = xj.shape[0]
+    # Largest divisor of the block size not exceeding the preferred tile
+    # (sizes are normally powers of two / multiples of 128 via pad_state).
+    tile_i = math.gcd(m, min(tile_i, m))
+    tile_j = math.gcd(k, min(tile_j, k))
+    assert m % tile_i == 0 and k % tile_j == 0, (m, k, tile_i, tile_j)
+    dtype = xi.dtype
 
     kernel = functools.partial(
-        _force_kernel, tile_i=tile_i, tile_j=tile_j, n=n,
+        _force_kernel, tile_i=tile_i, tile_j=tile_j, n_cols=k,
         gravity=float(cfg.gravity))
 
     vec = pl.BlockSpec(memory_space=pltpu.VMEM)
     xf, yf = pl.pallas_call(
         kernel,
-        grid=(n // tile_i,),
-        in_specs=[vec, vec, vec, vec],
+        grid=(m // tile_i,),
+        in_specs=[vec] * 8,
         out_specs=(vec, vec),
-        out_shape=(jax.ShapeDtypeStruct((1, n), dtype),
-                   jax.ShapeDtypeStruct((1, n), dtype)),
+        out_shape=(jax.ShapeDtypeStruct((1, m), dtype),
+                   jax.ShapeDtypeStruct((1, m), dtype)),
         cost_estimate=pl.CostEstimate(
-            flops=15 * n * n, bytes_accessed=8 * n * 4, transcendentals=n * n),
+            flops=15 * m * k, bytes_accessed=(4 * m + 4 * k) * 4,
+            transcendentals=m * k),
         interpret=interpret,
-    )(x.reshape(1, n), y.reshape(1, n), mass.reshape(1, n),
-      radius.reshape(1, n))
-    return xf.reshape(n), yf.reshape(n)
+    )(xi.reshape(1, m), yi.reshape(1, m), mi.reshape(1, m), ri.reshape(1, m),
+      xj.reshape(1, k), yj.reshape(1, k), mj.reshape(1, k), rj.reshape(1, k))
+    return xf.reshape(m), yf.reshape(m)
+
+
+def _force_kernel_streamed(xi_ref, yi_ref, mi_ref, ri_ref,
+                           xj_ref, yj_ref, mj_ref, rj_ref,
+                           xf_ref, yf_ref,
+                           *, tile_i: int, tile_j: int, band: int,
+                           gravity: float):
+    """Grid-pipelined variant: grid = (row tiles, column bands); Pallas
+    streams (1, band) column bands HBM->VMEM with automatic double buffering,
+    so the body arrays never need to fit in VMEM (N is unbounded).  Inside
+    each band the kernel loops over tile_j-wide sub-tiles to bound the
+    (tile_i, tile_j) intermediates.
+
+    The output block (same row tile for every band) stays resident in VMEM
+    and is the accumulator — the classic revisited-output reduction.
+    """
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    xi = xi_ref[:].reshape(tile_i, 1)
+    yi = yi_ref[:].reshape(tile_i, 1)
+    ri = ri_ref[:].reshape(tile_i, 1)
+
+    def sub_step(s, acc):
+        acc_x, acc_y = acc
+        c0 = s * tile_j
+        xj = xj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j)
+        yj = yj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j)
+        mj = mj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j)
+        rj = rj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j)
+
+        dx = xj - xi
+        dy = yj - yi
+        dsqr = dx * dx + dy * dy
+        mind = ri + rj
+        forced = jnp.maximum(dsqr, mind * mind)
+        inv = lax.rsqrt(jnp.maximum(forced * forced * dsqr, _EPS))
+        scale = mj * inv
+        acc_x = acc_x + jnp.sum(scale * dx, axis=1, keepdims=True)
+        acc_y = acc_y + jnp.sum(scale * dy, axis=1, keepdims=True)
+        return acc_x, acc_y
+
+    zeros = jnp.zeros((tile_i, 1), xi_ref.dtype)
+    fx, fy = lax.fori_loop(0, band // tile_j, sub_step, (zeros, zeros))
+    fx = fx.reshape(1, tile_i)
+    fy = fy.reshape(1, tile_i)
+
+    @pl.when(j == 0)
+    def _():
+        xf_ref[:] = jnp.zeros_like(xf_ref)
+        yf_ref[:] = jnp.zeros_like(yf_ref)
+
+    xf_ref[:] += fx
+    yf_ref[:] += fy
+
+    @pl.when(j == nj - 1)
+    def _():
+        gmi = mi_ref[:] * gravity
+        xf_ref[:] *= gmi
+        yf_ref[:] *= gmi
+
+
+def pallas_block_forces_streamed(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
+                                 tile_i: int = 512, tile_j: int = 1024,
+                                 band: int = 32768,
+                                 interpret: bool = False):
+    """HBM-streaming block forces for N beyond VMEM capacity (N >= ~256K)."""
+    import math
+
+    m = xi.shape[0]
+    k = xj.shape[0]
+    tile_i = math.gcd(m, min(tile_i, m))
+    band = math.gcd(k, min(band, k))
+    tile_j = math.gcd(band, min(tile_j, band))
+    dtype = xi.dtype
+
+    kernel = functools.partial(
+        _force_kernel_streamed, tile_i=tile_i, tile_j=tile_j, band=band,
+        gravity=float(cfg.gravity))
+
+    def row_spec():
+        return pl.BlockSpec((1, tile_i), lambda i, j: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def col_spec():
+        return pl.BlockSpec((1, band), lambda i, j: (0, j),
+                            memory_space=pltpu.VMEM)
+
+    xf, yf = pl.pallas_call(
+        kernel,
+        grid=(m // tile_i, k // band),
+        in_specs=[row_spec(), row_spec(), row_spec(), row_spec(),
+                  col_spec(), col_spec(), col_spec(), col_spec()],
+        out_specs=(row_spec(), row_spec()),
+        out_shape=(jax.ShapeDtypeStruct((1, m), dtype),
+                   jax.ShapeDtypeStruct((1, m), dtype)),
+        cost_estimate=pl.CostEstimate(
+            flops=15 * m * k, bytes_accessed=(4 * m + 4 * k) * 4,
+            transcendentals=m * k),
+        interpret=interpret,
+    )(xi.reshape(1, m), yi.reshape(1, m), mi.reshape(1, m), ri.reshape(1, m),
+      xj.reshape(1, k), yj.reshape(1, k), mj.reshape(1, k), rj.reshape(1, k))
+    return xf.reshape(m), yf.reshape(m)
+
+
+# Above 128K bodies the four (1, N) fp32 vectors plus the (tile_i, tile_j)
+# intermediates no longer fit in VMEM; the streamed kernel takes over.
+_VMEM_RESIDENT_LIMIT = 1 << 17
+
+
+def pallas_forces(cfg, x, y, mass, radius, *, tile_i: int = 1024,
+                  tile_j: int = 1024, interpret: bool = False):
+    """Total pairwise forces (square case) via the Pallas kernel.
+
+    Dispatches to the VMEM-resident kernel for small/medium N and the
+    HBM-streaming grid-pipelined kernel for large N.
+    """
+    if x.shape[0] > _VMEM_RESIDENT_LIMIT:
+        # The streamed kernel has its own tuned tile defaults (the square
+        # kernel's tiles are sized for VMEM-resident inputs).
+        return pallas_block_forces_streamed(
+            cfg, x, y, mass, radius, x, y, mass, radius, interpret=interpret)
+    return pallas_block_forces(cfg, x, y, mass, radius, x, y, mass, radius,
+                               tile_i=tile_i, tile_j=tile_j,
+                               interpret=interpret)

@@ -46,6 +46,11 @@ def _local_forces_allgather(cfg, x, y, m_blk, r_blk, m_full, r_full):
     my = lax.axis_index(BODY_AXIS)
     x_full = lax.all_gather(x, BODY_AXIS, tiled=True)
     y_full = lax.all_gather(y, BODY_AXIS, tiled=True)
+    if cfg.kernel == "pallas":
+        from ..ops.pallas_step import pallas_block_forces
+        return pallas_block_forces(cfg, x, y, m_blk, r_blk,
+                                   x_full, y_full, m_full, r_full,
+                                   tile_i=cfg.tile_i, tile_j=cfg.tile_j)
     return forces_block_vs_full(cfg, x, y, m_blk, r_blk,
                                 x_full, y_full, m_full, r_full,
                                 my * shard)
@@ -66,20 +71,29 @@ def _local_forces_ring(cfg, x, y, m_blk, r_blk):
 
     def body(s, carry):
         vx, vy, vm, vr, xf, yf = carry
-        same = s == 0
 
-        # Forces from the visiting block.  ``same_block`` needs the triangle
-        # accumulation only in trig mode; dispatch statically on the mode and
-        # dynamically on s via lax.cond (shapes identical on both branches).
-        def own_block(_):
-            return forces_on_block(cfg, x, y, m_blk, r_blk,
-                                   x, y, m_blk, r_blk, same_block=True)
+        if cfg.kernel == "pallas":
+            # The Pallas fast path zeroes self-pairs intrinsically (dsqr == 0
+            # guard), so the visiting block needs no own/remote distinction.
+            from ..ops.pallas_step import pallas_block_forces
+            dxf, dyf = pallas_block_forces(
+                cfg, x, y, m_blk, r_blk, vx, vy, vm, vr,
+                tile_i=cfg.tile_i, tile_j=cfg.tile_j)
+        else:
+            same = s == 0
 
-        def remote_block(_):
-            return forces_on_block(cfg, x, y, m_blk, r_blk,
-                                   vx, vy, vm, vr, same_block=False)
+            # ``same_block`` needs the triangle accumulation only in trig
+            # mode; dispatch statically on the mode and dynamically on s via
+            # lax.cond (shapes identical on both branches).
+            def own_block(_):
+                return forces_on_block(cfg, x, y, m_blk, r_blk,
+                                       x, y, m_blk, r_blk, same_block=True)
 
-        dxf, dyf = lax.cond(same, own_block, remote_block, None)
+            def remote_block(_):
+                return forces_on_block(cfg, x, y, m_blk, r_blk,
+                                       vx, vy, vm, vr, same_block=False)
+
+            dxf, dyf = lax.cond(same, own_block, remote_block, None)
 
         nvx = lax.ppermute(vx, BODY_AXIS, perm)
         nvy = lax.ppermute(vy, BODY_AXIS, perm)

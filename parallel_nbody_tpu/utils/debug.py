@@ -1,0 +1,62 @@
+"""Debug / validation utilities.
+
+The reference has no sanitizers (SURVEY.md §5 — only -Wall and a comment
+documenting an OpenMP hazard).  Under XLA there are no data races to detect;
+the failure modes are numerical (NaN/Inf from bad softening or overflow) and
+shape/sharding bugs.  This module provides the NaN-check debug mode the
+survey calls for.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..state import State
+
+
+def enable_nan_checks() -> None:
+    """Turn on jax's global NaN debugging (checks every primitive output;
+    slow — debug mode only).  CLI flag: --check-nans."""
+    jax.config.update("jax_debug_nans", True)
+
+
+@dataclasses.dataclass
+class StateDiagnostics:
+    n: int
+    finite: bool
+    nan_fields: list[str]
+    pos_in_bounds: bool
+    max_speed: float
+    max_force: float
+
+    def ok(self) -> bool:
+        return self.finite
+
+
+def validate_state(state: State, xdim: int | None = None,
+                   ydim: int | None = None) -> StateDiagnostics:
+    """Host-side state validation (finiteness, bounds, magnitudes)."""
+    nan_fields = []
+    for name, arr in zip(State._fields, state):
+        if not bool(jnp.isfinite(arr).all()):
+            nan_fields.append(name)
+    x = np.asarray(state.x)
+    y = np.asarray(state.y)
+    in_bounds = True
+    if xdim is not None:
+        in_bounds = bool((x >= 0).all() and (x <= xdim - 1).all()
+                         and (y >= 0).all() and (y <= ydim - 1).all())
+    speed = np.sqrt(np.asarray(state.xv) ** 2 + np.asarray(state.yv) ** 2)
+    force = np.sqrt(np.asarray(state.xf) ** 2 + np.asarray(state.yf) ** 2)
+    return StateDiagnostics(
+        n=state.n,
+        finite=not nan_fields,
+        nan_fields=nan_fields,
+        pos_in_bounds=in_bounds,
+        max_speed=float(speed.max()) if speed.size else 0.0,
+        max_force=float(force.max()) if force.size else 0.0,
+    )

@@ -90,7 +90,14 @@ def nbody_init_arrays(n: int, xdim: int, ydim: int, seed: int = 27102015):
       yv     = ((rand() % 20000) - 10000) / 2000.0
 
     Returns float64 numpy arrays (x, y, xv, yv, mass, radius).
+
+    Uses the native C++ implementation (native/nbody_host.cpp, bit-identical)
+    when the library is available; the pure-Python path below is the fallback
+    and the test oracle.
     """
+    from . import native_bridge
+    if n >= 4096 and native_bridge.available():
+        return native_bridge.nbody_init(n, xdim, ydim, seed)
     rng = GlibcRand(seed)
     x = np.empty(n, dtype=np.float64)
     y = np.empty(n, dtype=np.float64)

@@ -91,9 +91,15 @@ def create(path: str, xdim: int, ydim: int,
 
 
 def write_pixels(ppm: PPMFile, pixels: np.ndarray) -> None:
-    """In-place frame update (the display+msync analog, nbody-seq.c:467-471)."""
+    """In-place frame update (the display+msync analog, nbody-seq.c:467-471).
+
+    Uses the native mmap blit (native/nbody_host.cpp) when built; otherwise
+    plain seek+write."""
     pixels = np.ascontiguousarray(pixels, np.uint8)
     assert pixels.shape == (ppm.ydim, ppm.xdim, 3)
+    from . import native_bridge
+    if native_bridge.ppm_blit(ppm.path, ppm.data_offset, pixels):
+        return
     with open(ppm.path, "r+b") as f:
         f.seek(ppm.data_offset)
         f.write(pixels.tobytes())

@@ -8,7 +8,9 @@ explicitly.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-assign (the ambient environment may point JAX_PLATFORMS at real TPU
+# hardware; tests must be deterministic on the virtual CPU mesh).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,128 @@
+"""End-to-end CLI tests — argv contract, stderr contract, golden diff,
+checkpoint/resume, experiment CSV (nbody-seq.c:386-499 / nbody-par.c:768-978
+behavior)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_FIXTURE = "/root/reference/tests/128_MY_REF_OUTPUT"
+
+
+def run_cli(args, env_extra=None):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    if env_extra:
+        env.update(env_extra)
+    # timeout guards against a rare XLA-CPU virtual-device dispatch hang
+    # (observed ~1/50 runs); better a loud failure than a stuck suite.
+    return subprocess.run(
+        [sys.executable, "-m", "parallel_nbody_tpu.cli"] + args,
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=600)
+
+
+@pytest.fixture(scope="module")
+def arena(tmp_path_factory):
+    from parallel_nbody_tpu.utils import ppm
+    p = str(tmp_path_factory.mktemp("arena") / "nbody.ppm")
+    ppm.create(p, 1024, 768)
+    return p
+
+
+def test_usage_error():
+    r = run_cli(["3", "0"])
+    assert r.returncode == 1
+    assert "Usage:" in r.stderr
+
+
+def test_stderr_contract_and_output(arena):
+    r = run_cli(["32", "0", arena, "10"])
+    assert r.returncode == 0
+    assert "Running N-body with 32 bodies and 10 steps" in r.stderr
+    assert "N-body took:" in r.stderr
+    assert "Performance N-body:" in r.stderr
+    assert len(r.stdout.splitlines()) == 32
+    for line in r.stdout.splitlines():
+        assert len(line.split()) == 6
+
+
+def test_bodyct_clamping(arena):
+    r = run_cli(["1", "0", arena, "1"])
+    assert "Using two bodies..." in r.stderr
+    assert len(r.stdout.splitlines()) == 2
+    r = run_cli(["20000", "0", arena, "0"])
+    assert "Using only 10000 bodies..." in r.stderr
+    assert len(r.stdout.splitlines()) == 10000
+
+
+def test_missing_ppm(arena):
+    r = run_cli(["32", "0", "/nonexistent.ppm", "10"])
+    assert r.returncode == 1
+    assert "Cannot read" in r.stderr
+
+
+@pytest.mark.slow
+def test_golden_diff_via_cli(arena):
+    if not os.path.exists(REF_FIXTURE):
+        pytest.skip("fixture unavailable")
+    r = run_cli(["128", "0", arena, "1000", "--devices=4"])
+    assert r.stdout == open(REF_FIXTURE).read()
+
+
+def test_run_xps_csv(arena):
+    r = run_cli(["64", "0", arena, "5", "--run-xps"])
+    parts = r.stdout.strip().split(",")
+    assert parts[0] == "64"
+    assert float(parts[1]) >= 0
+
+    r = run_cli(["64", "0", arena, "5", "--run-xps", "--devices=2"])
+    parts = r.stdout.strip().split(",")
+    # SIZE,NODES,CPUS_PER_NODE,NBODIES,RTIME,COMMTIME,RATIO,GFLOPS
+    assert len(parts) == 8
+    assert parts[0] == "2" and parts[3] == "64"
+
+
+def test_measure_comm(arena):
+    r = run_cli(["64", "0", arena, "5", "--run-xps", "--devices=2",
+                 "--measure-comm"])
+    parts = r.stdout.strip().split(",")
+    assert float(parts[5]) > 0  # COMMTIME
+    assert 0 <= float(parts[6]) <= 1.5  # RATIO
+
+
+def test_checkpoint_resume_bitexact(arena, tmp_path):
+    ck = str(tmp_path / "state.npz")
+    full = run_cli(["16", "0", arena, "200"])
+    first = run_cli(["16", "0", arena, "100", f"--checkpoint={ck}"])
+    assert os.path.exists(ck)
+    second = run_cli(["16", "0", arena, "200", f"--resume={ck}"])
+    assert second.stdout == full.stdout
+    assert second.stdout != first.stdout
+
+
+def test_frame_rendering_with_secsup(arena, tmp_path):
+    from parallel_nbody_tpu.utils import ppm
+    import numpy as np
+    p = str(tmp_path / "frame.ppm")
+    ppm.create(p, 256, 192)
+    r = run_cli(["8", "1", p, "3000"])
+    assert r.returncode == 0
+    px = ppm.read_pixels(ppm.read_header(p))
+    assert px.any(), "expected at least one rendered frame with bodies"
+
+
+def test_unknown_flag(arena):
+    r = run_cli(["32", "0", arena, "1", "--bogus"])
+    assert r.returncode == 1
+    assert "Unknown flag" in r.stderr
+
+
+def test_openmp_flag_accepted(arena):
+    r = run_cli(["8", "0", arena, "1", "--openmp"])
+    assert r.returncode == 0
