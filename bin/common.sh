@@ -9,8 +9,10 @@ export PYTHONPATH="$REPO_ROOT${PYTHONPATH:+:$PYTHONPATH}"
 NBODY="python -m parallel_nbody_tpu.cli"
 
 # Virtual 8-device CPU mesh unless the caller picked a platform explicitly.
+# NBODY_PLATFORM routes through jax.config.update inside the CLI — the
+# JAX_PLATFORMS env var is ignored by some ambient platform plugins.
 nbody_cpu() {
-  JAX_PLATFORMS=cpu \
+  NBODY_PLATFORM=cpu \
   XLA_FLAGS="--xla_force_host_platform_device_count=8 ${XLA_FLAGS:-}" \
   python -m parallel_nbody_tpu.cli "$@"
 }

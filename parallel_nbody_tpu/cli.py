@@ -102,7 +102,17 @@ def main(argv=None) -> int:
     argv = list(sys.argv if argv is None else argv)
     n, secsup, ppm_path, steps, opts = parse_args(argv)
 
+    import os
+
     import jax
+
+    # Honor a requested platform via jax.config (authoritative even where an
+    # ambient platform plugin ignores the JAX_PLATFORMS env var).  Must run
+    # before first device use.
+    requested_platform = (os.environ.get("NBODY_PLATFORM")
+                          or os.environ.get("JAX_PLATFORMS"))
+    if requested_platform:
+        jax.config.update("jax_platforms", requested_platform)
 
     from .parallel import multihost
     if multihost.running_under_pod_launcher():
@@ -159,7 +169,11 @@ def main(argv=None) -> int:
     n_dev = opts["devices"] or len(jax.devices())
     multi = n_dev > 1
     if multi:
-        mesh = make_mesh(n_dev)
+        try:
+            mesh = make_mesh(n_dev)
+        except ValueError as e:
+            sys.stderr.write("%s\n" % e)
+            return 1
         # Pallas tiles need the shard size to stay tile-aligned.
         pad_mult = n_dev * (128 if opts["pallas"] else 1)
         state, n_real = pad_state(state, pad_mult)

@@ -27,6 +27,15 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            # The reference's launcher actually allocates the ranks it
+            # reports (prun, bin/tests.sh:38); silently truncating here would
+            # let callers claim parallelism that never ran.
+            raise ValueError(
+                "requested a %d-device mesh but only %d device(s) are "
+                "available (backend=%s); on a single-host CPU run set "
+                "--xla_force_host_platform_device_count" %
+                (n_devices, len(devices), jax.default_backend()))
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (BODY_AXIS,))
 

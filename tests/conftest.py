@@ -4,26 +4,39 @@ Multi-chip TPU hardware is not available in CI; sharding tests run on a
 virtual 8-device CPU mesh (the standard JAX pattern).  float64 is enabled
 globally — the parity path requires it; fp32 paths request their dtype
 explicitly.
+
+Platform forcing is done via ``jax.config.update("jax_platforms", "cpu")``,
+NOT via the ``JAX_PLATFORMS`` environment variable: some environments
+pre-register an ambient TPU platform plugin that ignores the env var, which
+would silently run every "multi-device" test on a single real chip.  The
+asserts below make that failure mode loud instead of vacuous.
 """
 
 import os
 
-# Force-assign (the ambient environment may point JAX_PLATFORMS at real TPU
-# hardware; tests must be deterministic on the virtual CPU mesh).
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+          if "xla_force_host_platform_device_count" not in f]
+_flags.append("--xla_force_host_platform_device_count=8")
+os.environ["XLA_FLAGS"] = " ".join(_flags)
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+assert jax.default_backend() == "cpu", (
+    "test suite requires the CPU platform but got %r — platform forcing ran "
+    "after JAX initialized a backend" % jax.default_backend())
+assert len(jax.devices()) == 8, (
+    "test suite requires 8 virtual CPU devices but got %d — "
+    "xla_force_host_platform_device_count was not honored"
+    % len(jax.devices()))
 
 import pytest  # noqa: E402
 
 REFERENCE = "/root/reference"
+FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fixtures")
 
 
 @pytest.fixture(scope="session")

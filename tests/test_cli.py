@@ -15,9 +15,13 @@ REF_FIXTURE = "/root/reference/tests/128_MY_REF_OUTPUT"
 def run_cli(args, env_extra=None):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
-                        + " --xla_force_host_platform_device_count=8").strip()
+    # NBODY_PLATFORM routes through jax.config.update in the CLI (the
+    # JAX_PLATFORMS env var is ignored by some ambient platform plugins).
+    env["NBODY_PLATFORM"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    flags.append("--xla_force_host_platform_device_count=8")
+    env["XLA_FLAGS"] = " ".join(flags)
     if env_extra:
         env.update(env_extra)
     # timeout guards against a rare XLA-CPU virtual-device dispatch hang
@@ -115,6 +119,16 @@ def test_frame_rendering_with_secsup(arena, tmp_path):
     assert r.returncode == 0
     px = ppm.read_pixels(ppm.read_header(p))
     assert px.any(), "expected at least one rendered frame with bodies"
+
+
+def test_devices_request_exceeding_available_fails(arena):
+    # make_mesh must refuse (not silently truncate) when the requested shard
+    # count exceeds the devices present — a --devices=16 run on the 8-device
+    # virtual mesh must error, not emit a CSV claiming 16 chips.
+    r = run_cli(["32", "0", arena, "1", "--devices=16", "--run-xps"])
+    assert r.returncode == 1
+    assert "16-device mesh" in r.stderr
+    assert r.stdout == ""
 
 
 def test_unknown_flag(arena):

@@ -26,6 +26,9 @@ N = 96  # deliberately not a multiple of 8 to exercise padding
 
 def _run_sharded(n_dev, comm, cfg=CFG, n=N, steps=STEPS):
     mesh = make_mesh(n_dev)
+    # Guard against vacuously-green runs on a truncated mesh (the round-1
+    # failure mode): the mesh must really have n_dev devices.
+    assert mesh.size == n_dev, (mesh.size, n_dev)
     st = init_state(n, cfg)
     padded, n_real = pad_state(st, n_dev)
     padded = shard_state(padded, mesh)
@@ -66,6 +69,11 @@ def test_fast_mode_sharded_close_to_seq():
                                rtol=1e-9, atol=1e-7)
     np.testing.assert_allclose(np.asarray(out.yv), np.asarray(seq.yv),
                                rtol=1e-9, atol=1e-7)
+
+
+def test_make_mesh_rejects_oversubscription():
+    with pytest.raises(ValueError, match="9-device mesh"):
+        make_mesh(9)
 
 
 def test_padding_bodies_stay_inert():
