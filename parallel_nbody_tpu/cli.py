@@ -213,12 +213,19 @@ def main(argv=None) -> int:
     else:
         comm_time_per_step = 0.0
 
-    # AOT-compile the exact program outside the timed region (the reference
-    # times pure simulation work; nbody-par brackets with MPI_Barrier
-    # similarly — XLA compilation is our one-time launcher cost).
+    # AOT-compile the exact program(s) outside the timed region (the
+    # reference times pure simulation work; nbody-par brackets with
+    # MPI_Barrier similarly — XLA compilation is our one-time launcher
+    # cost).  The chunked loop may end with a partial chunk; pre-compile
+    # that size too so no compile lands inside the timed region.
     chunk = max(1, min(1000, remaining // 20 or 1))
     if remaining > 0:
-        compile_chunk(chunk if secsup > 0 else remaining)
+        if secsup > 0:
+            compile_chunk(chunk)
+            if remaining % chunk:
+                compile_chunk(remaining % chunk)
+        else:
+            compile_chunk(remaining)
 
     t0 = time.time()
     if secsup > 0 and remaining > 0:
@@ -240,7 +247,9 @@ def main(argv=None) -> int:
     rtime = time.time() - t0
     comm_time = comm_time_per_step * remaining
 
-    flops = nr_flops(n, steps)
+    # Throughput accounting covers only the steps actually executed (with
+    # --resume that is fewer than ``steps``).
+    flops = nr_flops(n, remaining)
     gflops = flops / 1e9 / rtime if rtime > 0 else float("nan")
 
     if multi:

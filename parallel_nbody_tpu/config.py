@@ -54,5 +54,12 @@ class SimConfig:
     tile_i: int = 1024
     tile_j: int = 1024
 
+    def __post_init__(self):
+        if self.kernel == "pallas" and self.force_mode == "trig":
+            raise ValueError(
+                "kernel='pallas' implements only force_mode='fast' (the "
+                "transcendental-free path); the trig parity decomposition "
+                "(nbody-seq.c:91-98) requires kernel='xla'")
+
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)

@@ -44,6 +44,32 @@ from jax.experimental.pallas import tpu as pltpu
 # this only de-NaNs coincident zero-mass padding pairs.
 _EPS = 1e-30
 
+# Far-outside-the-arena position for padding bodies (matches state.pad_state):
+# dsqr against any real body overflows forced^2*dsqr toward +inf in fp32, so
+# rsqrt gives 0; padding-vs-padding pairs hit the _EPS floor with zero mass.
+_FAR = 1e9
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _pad_lane(a, size: int, fill: float):
+    """Pad a 1-D body array up to ``size`` lanes."""
+    n = a.shape[0]
+    if n == size:
+        return a
+    return jnp.concatenate([a, jnp.full((size - n,), fill, a.dtype)])
+
+
+def _pad_block(x, y, m, r, size: int):
+    """Pad one body block (positions far away, zero mass/radius) so padding
+    bodies neither feel nor exert force — the internal analog of
+    state.pad_state, applied per-kernel so awkward N never shrinks the tile
+    (tiny tiles fail Mosaic lane alignment on real TPUs and waste the VPU)."""
+    return (_pad_lane(x, size, _FAR), _pad_lane(y, size, _FAR),
+            _pad_lane(m, size, 0.0), _pad_lane(r, size, 0.0))
+
 
 def _force_kernel(xi_ref, yi_ref, mi_ref, ri_ref,
                   xj_ref, yj_ref, mj_ref, rj_ref,
@@ -91,38 +117,42 @@ def pallas_block_forces(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
                         tile_i: int = 1024, tile_j: int = 1024,
                         interpret: bool = False):
     """Force of every body in block J on every body in block I (one-sided,
-    fast mode).  Block I of size M, block J of size K; requires M % tile_i ==
-    0 and K % tile_j == 0 (use state.pad_state)."""
-    import math
-
+    fast mode).  Block I of size M, block J of size K; block sizes that are
+    not tile multiples are padded internally with inert far-away bodies (the
+    tile size is never shrunk — see _pad_block)."""
     m = xi.shape[0]
     k = xj.shape[0]
-    # Largest divisor of the block size not exceeding the preferred tile
-    # (sizes are normally powers of two / multiples of 128 via pad_state).
-    tile_i = math.gcd(m, min(tile_i, m))
-    tile_j = math.gcd(k, min(tile_j, k))
-    assert m % tile_i == 0 and k % tile_j == 0, (m, k, tile_i, tile_j)
+    # Keep the requested tile but never larger than the (lane-aligned) block.
+    tile_i = min(tile_i, _round_up(m, 128))
+    tile_j = min(tile_j, _round_up(k, 128))
+    m_pad = _round_up(m, tile_i)
+    k_pad = _round_up(k, tile_j)
+    xi, yi, mi, ri = _pad_block(xi, yi, mi, ri, m_pad)
+    xj, yj, mj, rj = _pad_block(xj, yj, mj, rj, k_pad)
     dtype = xi.dtype
 
     kernel = functools.partial(
-        _force_kernel, tile_i=tile_i, tile_j=tile_j, n_cols=k,
+        _force_kernel, tile_i=tile_i, tile_j=tile_j, n_cols=k_pad,
         gravity=float(cfg.gravity))
 
     vec = pl.BlockSpec(memory_space=pltpu.VMEM)
     xf, yf = pl.pallas_call(
         kernel,
-        grid=(m // tile_i,),
+        grid=(m_pad // tile_i,),
         in_specs=[vec] * 8,
         out_specs=(vec, vec),
-        out_shape=(jax.ShapeDtypeStruct((1, m), dtype),
-                   jax.ShapeDtypeStruct((1, m), dtype)),
+        out_shape=(jax.ShapeDtypeStruct((1, m_pad), dtype),
+                   jax.ShapeDtypeStruct((1, m_pad), dtype)),
         cost_estimate=pl.CostEstimate(
-            flops=15 * m * k, bytes_accessed=(4 * m + 4 * k) * 4,
-            transcendentals=m * k),
+            flops=15 * m_pad * k_pad,
+            bytes_accessed=(4 * m_pad + 4 * k_pad) * 4,
+            transcendentals=m_pad * k_pad),
         interpret=interpret,
-    )(xi.reshape(1, m), yi.reshape(1, m), mi.reshape(1, m), ri.reshape(1, m),
-      xj.reshape(1, k), yj.reshape(1, k), mj.reshape(1, k), rj.reshape(1, k))
-    return xf.reshape(m), yf.reshape(m)
+    )(xi.reshape(1, m_pad), yi.reshape(1, m_pad),
+      mi.reshape(1, m_pad), ri.reshape(1, m_pad),
+      xj.reshape(1, k_pad), yj.reshape(1, k_pad),
+      mj.reshape(1, k_pad), rj.reshape(1, k_pad))
+    return xf.reshape(m_pad)[:m], yf.reshape(m_pad)[:m]
 
 
 def _force_kernel_streamed(xi_ref, yi_ref, mi_ref, ri_ref,
@@ -189,14 +219,21 @@ def pallas_block_forces_streamed(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
                                  tile_i: int = 512, tile_j: int = 1024,
                                  band: int = 32768,
                                  interpret: bool = False):
-    """HBM-streaming block forces for N beyond VMEM capacity (N >= ~256K)."""
-    import math
+    """HBM-streaming block forces for N beyond VMEM capacity (N >= ~256K).
 
-    m = xi.shape[0]
+    Awkward sizes are padded to tile/band multiples with inert bodies rather
+    than shrinking the tiles (see _pad_block)."""
+    m_orig = xi.shape[0]
     k = xj.shape[0]
-    tile_i = math.gcd(m, min(tile_i, m))
-    band = math.gcd(k, min(band, k))
-    tile_j = math.gcd(band, min(tile_j, band))
+    tile_i = min(tile_i, _round_up(m_orig, 128))
+    m = _round_up(m_orig, tile_i)
+    tile_j = min(tile_j, _round_up(k, 128))
+    band = max(tile_j, min(band, _round_up(k, tile_j)))
+    band -= band % tile_j  # band must be a whole number of sub-tiles
+    k_pad = _round_up(k, band)
+    xi, yi, mi, ri = _pad_block(xi, yi, mi, ri, m)
+    xj, yj, mj, rj = _pad_block(xj, yj, mj, rj, k_pad)
+    k = k_pad
     dtype = xi.dtype
 
     kernel = functools.partial(
@@ -225,7 +262,7 @@ def pallas_block_forces_streamed(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
         interpret=interpret,
     )(xi.reshape(1, m), yi.reshape(1, m), mi.reshape(1, m), ri.reshape(1, m),
       xj.reshape(1, k), yj.reshape(1, k), mj.reshape(1, k), rj.reshape(1, k))
-    return xf.reshape(m), yf.reshape(m)
+    return xf.reshape(m)[:m_orig], yf.reshape(m)[:m_orig]
 
 
 # Above 128K bodies the four (1, N) fp32 vectors plus the (tile_i, tile_j)

@@ -58,8 +58,11 @@ def _tokenize_header(buf: bytes):
 
 
 def read_header(path: str) -> PPMFile:
+    # 64 KiB comfortably covers any real-world comment block; the reference
+    # parses the whole mmapped file, so a short fixed read must not reject
+    # headers with long '#' comments.
     with open(path, "rb") as f:
-        head = f.read(256)
+        head = f.read(65536)
     if len(head) < 2 or head[0:1] != b"P":
         raise PPMError(f"{path}: not a PPM file")
     if head[1:2] != b"6":
