@@ -9,7 +9,7 @@ import sys
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-REF_FIXTURE = "/root/reference/tests/128_MY_REF_OUTPUT"
+REF_FIXTURE = os.path.join(REPO, "tests", "fixtures", "128_MY_REF_OUTPUT")
 
 
 def run_cli(args, env_extra=None):
@@ -73,8 +73,6 @@ def test_missing_ppm(arena):
 
 @pytest.mark.slow
 def test_golden_diff_via_cli(arena):
-    if not os.path.exists(REF_FIXTURE):
-        pytest.skip("fixture unavailable")
     r = run_cli(["128", "0", arena, "1000", "--devices=4"])
     assert r.stdout == open(REF_FIXTURE).read()
 

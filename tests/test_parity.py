@@ -1,11 +1,16 @@
 """Golden-output differential tests — the reference's own test strategy
 (SURVEY.md §4): byte-exact diff of the final-state printout against the
-reference's recorded fixtures.
+reference's recorded fixtures, vendored into tests/fixtures/ so the suite
+never silently skips its core assertion:
 
-  - tests/128_MY_REF_OUTPUT : N=128, 1000 steps (sequential oracle)
-  - bin/REF_OUTPUT          : N=32, 100000 steps (the instructor's grader)
+  - fixtures/128_MY_REF_OUTPUT : N=128, 1000 steps (sequential oracle,
+    reference tests/128_MY_REF_OUTPUT)
+  - fixtures/REF_OUTPUT        : N=32, 100000 steps (the instructor's
+    grader oracle, reference bin/REF_OUTPUT)
 
 These run on CPU float64 with force_mode="trig" — the parity configuration.
+When the reference checkout is mounted, the vendored copies are additionally
+verified byte-identical to it.
 """
 
 import os
@@ -18,28 +23,37 @@ from parallel_nbody_tpu.state import init_state
 from parallel_nbody_tpu.utils.output import format_state
 
 REF = "/root/reference"
+FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fixtures")
 
 CFG = SimConfig(xdim=1024, ydim=768, force_mode="trig", dtype="float64")
 
 
-def _golden(path):
-    if not os.path.exists(path):
-        pytest.skip(f"golden fixture {path} unavailable")
-    with open(path) as f:
+def _golden(name):
+    with open(os.path.join(FIXTURES, name)) as f:
         return f.read()
 
 
+@pytest.mark.parametrize("vendored, upstream", [
+    ("128_MY_REF_OUTPUT", "tests/128_MY_REF_OUTPUT"),
+    ("REF_OUTPUT", "bin/REF_OUTPUT"),
+])
+def test_vendored_fixture_matches_reference(vendored, upstream):
+    path = os.path.join(REF, upstream)
+    if not os.path.exists(path):
+        pytest.skip("reference checkout unavailable")
+    assert _golden(vendored) == open(path).read()
+
+
 def test_parity_n128_1000_steps():
-    ref = _golden(os.path.join(REF, "tests/128_MY_REF_OUTPUT"))
     final = run(CFG, init_state(128, CFG), 1000)
-    assert format_state(final) == ref
+    assert format_state(final) == _golden("128_MY_REF_OUTPUT")
 
 
 @pytest.mark.slow
 def test_parity_n32_100000_steps():
-    ref = _golden(os.path.join(REF, "bin/REF_OUTPUT"))
     final = run(CFG, init_state(32, CFG), 100000)
-    assert format_state(final) == ref
+    assert format_state(final) == _golden("REF_OUTPUT")
 
 
 def test_zero_steps_prints_init():

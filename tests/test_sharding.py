@@ -54,9 +54,8 @@ def test_ring_invariance(n_dev, seq_output):
 
 
 def test_sharded_matches_golden_fixture():
-    path = "/root/reference/tests/128_MY_REF_OUTPUT"
-    if not os.path.exists(path):
-        pytest.skip("golden fixture unavailable")
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fixtures", "128_MY_REF_OUTPUT")
     out = _run_sharded(8, "allgather", n=128, steps=1000)
     assert format_state(out) == open(path).read()
 
