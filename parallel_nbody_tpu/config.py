@@ -53,6 +53,9 @@ class SimConfig:
     kernel: Literal["xla", "pallas"] = "xla"
     tile_i: int = 1024
     tile_j: int = 1024
+    # Run Pallas kernels in interpret mode (CPU-testable emulation of the
+    # TPU kernel — used by the test suite's virtual mesh; never on hardware).
+    pallas_interpret: bool = False
 
     def __post_init__(self):
         if self.kernel == "pallas" and self.force_mode == "trig":

@@ -27,7 +27,8 @@ def step(cfg: SimConfig, state: State) -> State:
         from ..ops.pallas_step import pallas_forces
         xf, yf = pallas_forces(cfg, state.x, state.y, state.mass,
                                state.radius, tile_i=cfg.tile_i,
-                               tile_j=cfg.tile_j)
+                               tile_j=cfg.tile_j,
+                               interpret=cfg.pallas_interpret)
     else:
         xf, yf = compute_forces_dense(cfg, state.x, state.y, state.mass,
                                       state.radius)

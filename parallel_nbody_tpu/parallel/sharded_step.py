@@ -50,7 +50,8 @@ def _local_forces_allgather(cfg, x, y, m_blk, r_blk, m_full, r_full):
         from ..ops.pallas_step import pallas_block_forces
         return pallas_block_forces(cfg, x, y, m_blk, r_blk,
                                    x_full, y_full, m_full, r_full,
-                                   tile_i=cfg.tile_i, tile_j=cfg.tile_j)
+                                   tile_i=cfg.tile_i, tile_j=cfg.tile_j,
+                                   interpret=cfg.pallas_interpret)
     return forces_block_vs_full(cfg, x, y, m_blk, r_blk,
                                 x_full, y_full, m_full, r_full,
                                 my * shard)
@@ -78,7 +79,8 @@ def _local_forces_ring(cfg, x, y, m_blk, r_blk):
             from ..ops.pallas_step import pallas_block_forces
             dxf, dyf = pallas_block_forces(
                 cfg, x, y, m_blk, r_blk, vx, vy, vm, vr,
-                tile_i=cfg.tile_i, tile_j=cfg.tile_j)
+                tile_i=cfg.tile_i, tile_j=cfg.tile_j,
+                interpret=cfg.pallas_interpret)
         else:
             same = s == 0
 
@@ -136,8 +138,11 @@ def make_sharded_run(cfg: SimConfig, mesh: Mesh, steps: int,
     mesh size) -> State after ``steps`` steps, entirely on-device."""
     assert comm in ("allgather", "ring")
     local = functools.partial(_sharded_run_local, cfg, steps, comm)
+    # pallas_call does not annotate its outputs' varying-mesh-axes, so the
+    # vma check must be off for the Pallas kernel path.
     sharded = shard_map(local, mesh=mesh,
-                        in_specs=(_SPEC,) * 8, out_specs=(_SPEC,) * 8)
+                        in_specs=(_SPEC,) * 8, out_specs=(_SPEC,) * 8,
+                        check_vma=cfg.kernel != "pallas")
 
     @jax.jit
     def run_sharded(state: State) -> State:

@@ -1,13 +1,20 @@
 """Pallas force-kernel tests (interpret mode on CPU; the real-TPU validation
-runs in benchmarks and on hardware)."""
+runs in benchmarks and on hardware).
+
+Covers the VMEM-resident kernel, the HBM-streamed grid-pipelined kernel
+(the entire N >= 256K story), the dispatch boundary between them, and the
+composition with the sharded all-gather / ppermute-ring paths.
+"""
 
 import jax
 import numpy as np
 import pytest
 
 from parallel_nbody_tpu.config import SimConfig
+from parallel_nbody_tpu.ops import pallas_step
 from parallel_nbody_tpu.ops.forces import compute_forces_dense
-from parallel_nbody_tpu.ops.pallas_step import pallas_forces
+from parallel_nbody_tpu.ops.pallas_step import (
+    pallas_block_forces, pallas_block_forces_streamed, pallas_forces)
 from parallel_nbody_tpu.state import pad_state, random_state
 
 CFG = SimConfig(force_mode="fast", dtype="float32")
@@ -18,14 +25,17 @@ def _forces(st, **kw):
                          interpret=True, **kw)
 
 
+def _assert_close(got, want, rtol=2e-3, atol=1e-2):
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=rtol, atol=atol)
+
+
 def test_matches_dense_fast_path():
     st = random_state(512, CFG, jax.random.PRNGKey(0))
     xf, yf = _forces(st, tile_i=128, tile_j=256)
     xf_d, yf_d = compute_forces_dense(CFG, st.x, st.y, st.mass, st.radius)
-    np.testing.assert_allclose(np.asarray(xf), np.asarray(xf_d),
-                               rtol=2e-3, atol=1e-2)
-    np.testing.assert_allclose(np.asarray(yf), np.asarray(yf_d),
-                               rtol=2e-3, atol=1e-2)
+    _assert_close(xf, xf_d)
+    _assert_close(yf, yf_d)
 
 
 def test_padding_bodies_get_and_exert_zero_force():
@@ -37,18 +47,18 @@ def test_padding_bodies_get_and_exert_zero_force():
     np.testing.assert_array_equal(np.asarray(yf)[n:], 0.0)
     # Real bodies unaffected by padding: compare against unpadded dense.
     xf_d, _ = compute_forces_dense(CFG, st.x, st.y, st.mass, st.radius)
-    np.testing.assert_allclose(np.asarray(xf)[:n], np.asarray(xf_d),
-                               rtol=2e-3, atol=1e-2)
+    _assert_close(np.asarray(xf)[:n], xf_d)
 
 
-def test_awkward_sizes_fall_back_to_divisor_tiles():
-    # 96 is not divisible by 64; the kernel falls back to gcd tiles (32) and
-    # must still be correct.
+def test_awkward_sizes_pad_internally():
+    # 96 is not divisible by 64; the kernel pads to the tile multiple with
+    # inert bodies (it must NOT shrink the tile) and must still be correct.
     st = random_state(96, CFG, jax.random.PRNGKey(2))
     xf, yf = _forces(st, tile_i=64, tile_j=64)
+    assert xf.shape == (96,)
     xf_d, yf_d = compute_forces_dense(CFG, st.x, st.y, st.mass, st.radius)
-    np.testing.assert_allclose(np.asarray(xf), np.asarray(xf_d),
-                               rtol=2e-3, atol=1e-2)
+    _assert_close(xf, xf_d)
+    _assert_close(yf, yf_d)
 
 
 def test_momentum_conservation():
@@ -58,3 +68,107 @@ def test_momentum_conservation():
     total = abs(float(np.sum(np.asarray(xf, np.float64))))
     scale = float(np.abs(np.asarray(xf)).max())
     assert total < 1e-3 * scale
+
+
+# ---------------------------------------------------------------------------
+# HBM-streamed kernel (pallas_block_forces_streamed)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("m, k, band, tile_i, tile_j", [
+    (512, 512, 256, 128, 128),   # square, multiple bands
+    (384, 640, 256, 128, 128),   # rectangular, k pads 640 -> 768
+    (256, 1000, 256, 64, 128),   # awkward k, row/col tiles differ
+    (512, 512, 512, 128, 256),   # single band == whole block
+    (200, 520, 256, 128, 128),   # both axes awkward
+])
+def test_streamed_matches_dense(m, k, band, tile_i, tile_j):
+    sti = random_state(m, CFG, jax.random.PRNGKey(4))
+    stj = random_state(k, CFG, jax.random.PRNGKey(5))
+    xf, yf = pallas_block_forces_streamed(
+        CFG, sti.x, sti.y, sti.mass, sti.radius,
+        stj.x, stj.y, stj.mass, stj.radius,
+        tile_i=tile_i, tile_j=tile_j, band=band, interpret=True)
+    assert xf.shape == (m,)
+    # Oracle: the VMEM-resident kernel over the same blocks (itself verified
+    # against the dense XLA op above).
+    xf_r, yf_r = pallas_block_forces(
+        CFG, sti.x, sti.y, sti.mass, sti.radius,
+        stj.x, stj.y, stj.mass, stj.radius,
+        tile_i=tile_i, tile_j=tile_j, interpret=True)
+    _assert_close(xf, xf_r, rtol=1e-5, atol=1e-4)
+    _assert_close(yf, yf_r, rtol=1e-5, atol=1e-4)
+
+
+def test_streamed_square_matches_dense_oracle():
+    st = random_state(512, CFG, jax.random.PRNGKey(6))
+    xf, yf = pallas_block_forces_streamed(
+        CFG, st.x, st.y, st.mass, st.radius,
+        st.x, st.y, st.mass, st.radius,
+        tile_i=128, tile_j=128, band=256, interpret=True)
+    xf_d, yf_d = compute_forces_dense(CFG, st.x, st.y, st.mass, st.radius)
+    _assert_close(xf, xf_d)
+    _assert_close(yf, yf_d)
+
+
+def test_vmem_dispatch_boundary(monkeypatch):
+    """pallas_forces must route N <= limit to the resident kernel and
+    N > limit to the streamed kernel, with identical results either side."""
+    calls = []
+    orig_resident = pallas_step.pallas_block_forces
+    orig_streamed = pallas_step.pallas_block_forces_streamed
+
+    def spy_resident(*a, **kw):
+        calls.append("resident")
+        return orig_resident(*a, **kw)
+
+    def spy_streamed(*a, **kw):
+        calls.append("streamed")
+        return orig_streamed(*a, **kw)
+
+    monkeypatch.setattr(pallas_step, "pallas_block_forces", spy_resident)
+    monkeypatch.setattr(pallas_step, "pallas_block_forces_streamed",
+                        spy_streamed)
+    monkeypatch.setattr(pallas_step, "_VMEM_RESIDENT_LIMIT", 256)
+
+    at_limit = random_state(256, CFG, jax.random.PRNGKey(7))
+    above = random_state(320, CFG, jax.random.PRNGKey(7))
+
+    pallas_forces(CFG, at_limit.x, at_limit.y, at_limit.mass,
+                  at_limit.radius, interpret=True)
+    assert calls == ["resident"]
+
+    xf, yf = pallas_forces(CFG, above.x, above.y, above.mass, above.radius,
+                           interpret=True)
+    assert calls == ["resident", "streamed"]
+    xf_d, yf_d = compute_forces_dense(CFG, above.x, above.y, above.mass,
+                                      above.radius)
+    _assert_close(xf, xf_d)
+    _assert_close(yf, yf_d)
+
+
+# ---------------------------------------------------------------------------
+# Composition with the sharded paths (virtual CPU mesh, interpret mode)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("comm", ["allgather", "ring"])
+def test_sharded_pallas_matches_dense(comm):
+    from parallel_nbody_tpu.models.engine import run
+    from parallel_nbody_tpu.parallel.mesh import make_mesh, shard_state
+    from parallel_nbody_tpu.parallel.sharded_step import make_sharded_run
+    from parallel_nbody_tpu.state import init_state, unpad_state
+
+    cfg = CFG.replace(kernel="pallas", pallas_interpret=True,
+                      tile_i=64, tile_j=64)
+    n_dev, n, steps = 4, 256, 5
+    mesh = make_mesh(n_dev)
+    assert mesh.size == n_dev
+    st = init_state(n, cfg)
+    padded, n_real = pad_state(st, n_dev)
+    padded = shard_state(padded, mesh)
+    out = make_sharded_run(cfg, mesh, steps, comm)(padded)
+    out = unpad_state(jax.device_get(out), n_real)
+
+    ref = run(cfg.replace(kernel="xla"), init_state(n, cfg), steps)
+    _assert_close(out.x, ref.x, rtol=1e-4, atol=1e-3)
+    _assert_close(out.y, ref.y, rtol=1e-4, atol=1e-3)
+    _assert_close(out.xv, ref.xv, rtol=1e-3, atol=1e-3)
