@@ -1,0 +1,103 @@
+"""Multi-host smoke run: the prun/mpirun-analog actually exercised.
+
+The reference proves its multi-node path by launching real MPI ranks
+(/root/reference/bin/tests.sh:38 via prun).  The TPU-native analog is one
+process per host joined by ``jax.distributed.initialize``; this module is a
+self-contained worker that lets a single machine prove that path end-to-end:
+
+    python -m parallel_nbody_tpu.parallel.multihost_smoke PID NPROCS PORT
+
+launched NPROCS times (PID = 0..NPROCS-1) forms a gloo-backed global runtime
+of NPROCS processes x 2 virtual CPU devices each, builds the global body
+mesh, runs the REAL sharded step (both comm modes) on globally-sharded
+arrays, and verifies every locally-addressable output shard against the
+single-device run.  Prints ``MULTIHOST_OK`` on success.
+
+Used by tests/test_multihost.py and bin/multihost-smoke.sh.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+LOCAL_DEVICES = 2
+STEPS = 3
+
+
+def worker(process_id: int, num_processes: int, port: int) -> None:
+    # Platform forcing must precede first device use (see parallel/dryrun.py).
+    flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    flags.append("--xla_force_host_platform_device_count=%d" % LOCAL_DEVICES)
+    os.environ["XLA_FLAGS"] = " ".join(flags)
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    import numpy as np
+
+    from . import multihost
+    from ..config import SimConfig
+    from ..models.engine import run
+    from ..parallel.mesh import body_sharding, make_mesh
+    from ..parallel.sharded_step import make_sharded_run
+    from ..state import State, init_state, pad_state
+
+    multihost.initialize("localhost:%d" % port,
+                         num_processes=num_processes,
+                         process_id=process_id)
+
+    topo = multihost.topology()
+    assert topo["processes"] == num_processes, topo
+    assert topo["process_id"] == process_id, topo
+    assert topo["local_devices"] == LOCAL_DEVICES, topo
+    n_global = num_processes * LOCAL_DEVICES
+    assert topo["global_devices"] == n_global, topo
+
+    cfg = SimConfig(force_mode="trig", dtype="float64", kernel="xla")
+    n = 16 * n_global + 3  # exercise padding
+    state = init_state(n, cfg)  # deterministic glibc init: same on all hosts
+    padded, _ = pad_state(state, n_global)
+    padded_np = [np.asarray(a) for a in padded]
+
+    # Single-device oracle over the same padded state (padding is inert).
+    expected = [np.asarray(a)
+                for a in jax.device_get(run(cfg, padded, STEPS))]
+
+    mesh = make_mesh(n_global)  # global mesh: spans both processes
+    sharding = body_sharding(mesh)
+    global_state = State(*(
+        jax.make_array_from_callback(a.shape, sharding,
+                                     lambda idx, a=a: a[idx])
+        for a in padded_np))
+
+    for comm in ("allgather", "ring"):
+        out = make_sharded_run(cfg, mesh, STEPS, comm)(global_state)
+        jax.block_until_ready(out)
+        for field, arr, want in zip(State._fields, out, expected):
+            for shard in arr.addressable_shards:
+                got = np.asarray(shard.data)
+                ref = want[shard.index]
+                np.testing.assert_allclose(
+                    got, ref, rtol=1e-9, atol=1e-6,
+                    err_msg="field %s, comm %s, shard %s diverged"
+                            % (field, comm, shard.index))
+
+    print("process %d/%d MULTIHOST_OK (%d global devices, comm="
+          "allgather+ring, %d bodies, %d steps)"
+          % (process_id, num_processes, n_global, n, STEPS), flush=True)
+
+
+def main(argv=None) -> int:
+    argv = sys.argv if argv is None else argv
+    process_id = int(argv[1])
+    num_processes = int(argv[2]) if len(argv) > 2 else 2
+    port = int(argv[3]) if len(argv) > 3 else 9876
+    worker(process_id, num_processes, port)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
