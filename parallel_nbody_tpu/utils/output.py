@@ -52,5 +52,8 @@ def xps_csv_par(size: int, nodes: int, cpus_per_node: int, n: int,
     """Parallel experiment CSV row (nbody-par.c:950-957):
     SIZE,NODES,CPUS_PER_NODE,NBODIES,RTIME,COMMTIME,RATIO,GFLOPS."""
     ratio = comm_time / rtime if rtime > 0 else 0.0
-    return "%d,%d,%d,%d,%.3f,%.3f,%.3f, %.2f" % (
+    # COMMTIME/RATIO carry 6 decimals: per-step collectives on fast
+    # interconnects are well under a millisecond, and the comm-share analysis
+    # (reference PDF Tables 4/8) needs them distinguishable from zero.
+    return "%d,%d,%d,%d,%.3f,%.6f,%.6f, %.2f" % (
         size, nodes, cpus_per_node, n, rtime, comm_time, ratio, gflops)
