@@ -22,11 +22,13 @@ nbody_cpu() {
 ensure_arena() {
   local path="${1:-$REPO_ROOT/nbody.ppm}"
   if [ ! -f "$path" ]; then
+    # Status goes to stderr: callers capture this function's stdout as the
+    # arena path ($(ensure_arena)), so it must stay a single line.
     python -c "
 from parallel_nbody_tpu.utils import ppm
 ppm.create('$path', 1024, 768)
-print('created $path (P6 1024x768)')
-"
+" >&2
+    echo "created $path (P6 1024x768)" >&2
   fi
   echo "$path"
 }

@@ -1,28 +1,50 @@
 #!/bin/bash
 # Single golden-diff test — TPU-native port of the reference's bin/tests.sh:
-#   tests.sh NP CPUS N
-# lazily generates tests/${N}_MY_REF_OUTPUT from the single-device engine
-# (1000 steps), then runs the sharded engine with NP shards and diffs.
-# CPUS is kept for interface parity (the reference's OpenMP threads/proc);
-# intra-chip parallelism is always on.
+#   tests.sh NP VARIANT N
+# The reference's grid was NP ranks x CPUs-per-proc (OpenMP threads); on TPU
+# intra-chip parallelism is always on, so the second axis becomes the KERNEL
+# VARIANT — the implementation matrix the build actually has:
+#   trig   — XLA kernel, reference trig force decomposition (parity path)
+#   fast   — XLA kernel, transcendental-free rsqrt path
+#   pallas — Pallas TPU kernel (interpret-mode emulation off-TPU)
+# Each variant is oracled by its own --devices=1 run (re-partitioning
+# invariance, the reference's correctness property); the trig oracle is
+# additionally diffed against the vendored golden fixture when one exists.
+# Numeric VARIANT values (the reference's CPUs arg) are accepted as "trig".
 set -u
 . "$(dirname "$0")/common.sh"
 
-NP="${1:?usage: tests.sh NP CPUS N}"
-CPUS="${2:?usage: tests.sh NP CPUS N}"
-N="${3:?usage: tests.sh NP CPUS N}"
+NP="${1:?usage: tests.sh NP VARIANT N}"
+VARIANT="${2:?usage: tests.sh NP VARIANT N}"
+N="${3:?usage: tests.sh NP VARIANT N}"
 STEPS="${STEPS:-1000}"
+
+case "$VARIANT" in
+  trig|[0-9]*) VARIANT=trig; FLAGS="" ;;
+  fast)        FLAGS="--fast" ;;
+  pallas)      FLAGS="--pallas" ;;
+  *) echo "unknown variant: $VARIANT (trig|fast|pallas)" >&2; exit 2 ;;
+esac
 
 ARENA=$(ensure_arena)
 mkdir -p "$REPO_ROOT/tests_out"
-REF="$REPO_ROOT/tests_out/${N}_MY_REF_OUTPUT"
-BASE="$REPO_ROOT/tests_out/${NP}_${CPUS}_${N}_mynbody.test"
+REF="$REPO_ROOT/tests_out/${N}_${VARIANT}_MY_REF_OUTPUT"
+BASE="$REPO_ROOT/tests_out/${NP}_${VARIANT}_${N}_mynbody.test"
 
 if [ ! -f "$REF" ]; then
-  nbody_cpu "$N" 0 "$ARENA" "$STEPS" --devices=1 > "$REF" 2>/dev/null
+  nbody_cpu "$N" 0 "$ARENA" "$STEPS" --devices=1 $FLAGS > "$REF" 2>/dev/null
+  # The parity variant's oracle must itself match the vendored golden
+  # fixture (reference tests/${N}_MY_REF_OUTPUT semantics).
+  GOLD="$REPO_ROOT/tests/fixtures/${N}_MY_REF_OUTPUT"
+  if [ "$VARIANT" = trig ] && [ "$STEPS" = 1000 ] && [ -f "$GOLD" ]; then
+    if ! diff -q "$GOLD" "$REF" >/dev/null; then
+      echo "ORACLE MISMATCH: $REF != $GOLD" >&2
+    fi
+  fi
 fi
 
-nbody_cpu "$N" 0 "$ARENA" "$STEPS" --devices="$NP" > "$BASE.out" 2> "$BASE.err"
+nbody_cpu "$N" 0 "$ARENA" "$STEPS" --devices="$NP" $FLAGS \
+  > "$BASE.out" 2> "$BASE.err"
 if diff "$REF" "$BASE.out" > "$BASE.diff"; then
   echo "STATUS=PASSED" >> "$BASE.out"
 else

@@ -151,6 +151,10 @@ def main(argv=None) -> int:
         force_mode="fast" if opts["fast"] else "trig",
         dtype=opts["dtype"],
         kernel="pallas" if opts["pallas"] else "xla",
+        # Off-TPU, the TPU kernel runs in interpret mode (same kernel
+        # semantics, emulated) so the --pallas variant is testable on the
+        # virtual CPU mesh.
+        pallas_interpret=opts["pallas"] and platform != "tpu",
     )
 
     sys.stderr.write("Running N-body with %i bodies and %i steps\n"

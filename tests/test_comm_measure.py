@@ -1,0 +1,43 @@
+"""Communication-share measurement validated on a real multi-device mesh.
+
+The reference's --measure-comm brackets its per-step MPI_Allgatherv
+(nbody-par.c:912-918) and its report shows comm share growing with rank
+count at fixed N (PDF Table 4: 0.27% at N=4096/P=2 up to 96.6% at
+N=512/P=128).  Here: the measured per-step collective cost on the virtual
+CPU mesh must be positive and must grow with the shard count for the ring
+strategy (P ppermute hops per step)."""
+
+import jax
+import pytest
+
+from parallel_nbody_tpu.config import SimConfig
+from parallel_nbody_tpu.parallel.mesh import make_mesh, shard_state
+from parallel_nbody_tpu.state import init_state, pad_state
+from parallel_nbody_tpu.utils.timing import measure_comm_fraction
+
+CFG = SimConfig(force_mode="trig", dtype="float64")
+N = 512
+
+
+def _comm_per_step(n_dev, comm, repeats=3):
+    mesh = make_mesh(n_dev)
+    assert mesh.size == n_dev
+    st = init_state(N, CFG)
+    padded, _ = pad_state(st, n_dev)
+    padded = shard_state(padded, mesh)
+    # min over repeats de-noises scheduler jitter.
+    return min(measure_comm_fraction(CFG, mesh, padded, comm)
+               for _ in range(repeats))
+
+
+@pytest.mark.parametrize("comm", ["allgather", "ring"])
+def test_comm_time_positive(comm):
+    assert _comm_per_step(2, comm) > 0
+
+
+def test_ring_comm_grows_with_shard_count():
+    # 8 ppermute hops per step vs 2 — more shards must cost more comm at
+    # fixed N (the reference's comm-share-vs-P effect, PDF Table 4).
+    t2 = _comm_per_step(2, "ring")
+    t8 = _comm_per_step(8, "ring")
+    assert t8 > t2, (t2, t8)
