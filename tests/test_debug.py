@@ -30,3 +30,23 @@ def test_validate_detects_out_of_bounds():
     bad = st._replace(x=st.x.at[0].set(99999.0))
     d = validate_state(bad, cfg.xdim, cfg.ydim)
     assert d.finite and not d.pos_in_bounds
+
+
+def test_per_field_printers():
+    from parallel_nbody_tpu.config import SimConfig
+    from parallel_nbody_tpu.state import init_state
+    from parallel_nbody_tpu.utils.debug import (format_forces,
+                                                format_positions,
+                                                format_velocities)
+    from parallel_nbody_tpu.utils.output import format_state
+
+    st = init_state(4, SimConfig())
+    pos = format_positions(st)
+    vel = format_velocities(st)
+    frc = format_forces(st)
+    assert len(pos.splitlines()) == 4
+    # Column pairs must agree with the 6-column full printout.
+    full = [l.split() for l in format_state(st).splitlines()]
+    assert [l.split() for l in pos.splitlines()] == [f[0:2] for f in full]
+    assert [l.split() for l in frc.splitlines()] == [f[2:4] for f in full]
+    assert [l.split() for l in vel.splitlines()] == [f[4:6] for f in full]
