@@ -29,6 +29,8 @@ def main():
 
     n = 65536
     steps = 100
+    # Tiles: benchmarks/autotune.py sweeps force-only rates; on the FULL
+    # fused step the (1024, 1024) default measures best (see docs/REPORT.md).
     cfg = SimConfig(force_mode="fast", dtype="float32", kernel="pallas")
     if jax.default_backend() == "cpu":
         # CI/debug fallback: tiny config so the benchmark still runs.

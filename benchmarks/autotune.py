@@ -23,12 +23,16 @@ from parallel_nbody_tpu.state import random_state
 
 
 def time_config(cfg: SimConfig, state, steps: int) -> float:
-    """Seconds per step for the fused on-device loop (compile excluded)."""
+    """Seconds per step for the fused on-device loop (compile excluded).
+
+    Completion is forced through a host readback of one element: on
+    tunneled/async device transports block_until_ready can return before
+    the device work is done, producing impossibly fast numbers."""
     out = run(cfg, state, steps)  # compile + warm
-    jax.block_until_ready(out)
+    jax.device_get(out.x[:1])
     t0 = time.perf_counter()
     out = run(cfg, state, steps)
-    jax.block_until_ready(out)
+    jax.device_get(out.x[:1])
     return (time.perf_counter() - t0) / steps
 
 
