@@ -147,3 +147,10 @@ def test_energy_dissipates_with_friction():
     # Friction removes kinetic energy; drift should be small and negative-ish.
     assert np.isfinite(e0) and np.isfinite(e1)
     assert abs(e1 - e0) / abs(e0) < 0.05
+
+
+def test_pallas_trig_config_rejected():
+    import pytest
+    from parallel_nbody_tpu.config import SimConfig
+    with pytest.raises(ValueError, match="pallas"):
+        SimConfig(kernel="pallas", force_mode="trig")

@@ -57,3 +57,16 @@ def test_reference_arena_header():
         pytest.skip("reference arena unavailable")
     h = ppm.read_header(path)
     assert (h.xdim, h.ydim) == (1024, 768)
+
+
+def test_long_comment_header(tmp_path):
+    # Headers with comment blocks beyond 256 bytes must parse (the reference
+    # scans the whole mmapped file; a short fixed read must not reject them).
+    from parallel_nbody_tpu.utils import ppm
+    p = str(tmp_path / "longhdr.ppm")
+    comment = b"# " + b"x" * 600 + b"\n"
+    with open(p, "wb") as f:
+        f.write(b"P6\n" + comment + b"16 8\n255\n")
+        f.write(bytes(16 * 8 * 3))
+    hdr = ppm.read_header(p)
+    assert (hdr.xdim, hdr.ydim) == (16, 8)
