@@ -5,7 +5,8 @@ This is the TPU-native replacement for the reference's compute_forces
 across cores).  Design:
 
   - Body arrays live in VMEM as (1, N) vectors (lane-major layout); at any
-    parity-relevant N (up to ~256K) all four fit comfortably.
+    parity-relevant N (up to the 128K resident limit) all four fit
+    comfortably.
   - The grid walks row tiles of the interaction matrix; each program computes
     the total force on TILE_I bodies by sweeping column tiles of TILE_J
     bodies with a fori_loop, keeping every intermediate (TILE_I, TILE_J)
@@ -219,7 +220,7 @@ def pallas_block_forces_streamed(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
                                  tile_i: int = 512, tile_j: int = 1024,
                                  band: int = 32768,
                                  interpret: bool = False):
-    """HBM-streaming block forces for N beyond VMEM capacity (N >= ~256K).
+    """HBM-streaming block forces for N beyond the 128K VMEM-resident limit.
 
     Awkward sizes are padded to tile/band multiples with inert bodies rather
     than shrinking the tiles (see _pad_block)."""
