@@ -134,11 +134,16 @@ def main(argv=None) -> int:
     from .models.engine import run
     from .parallel.mesh import make_mesh, shard_state
     from .parallel.sharded_step import make_sharded_run
-    from .state import init_state, pad_state, unpad_state
+    from .state import State, init_state, pad_state, unpad_state
     from .utils import checkpoint as ckpt
     from .utils import ppm as ppmio
     from .utils.output import (format_state, nr_flops, xps_csv_par,
                                xps_csv_seq)
+
+    # Rank-0-only reporting, exactly like the reference's parallel driver
+    # (nbody-par.c:939-959): in a multi-process launch every process runs the
+    # same program but only process 0 speaks.
+    rank0 = jax.process_index() == 0
 
     try:
         ppm = ppmio.read_header(ppm_path)
@@ -157,8 +162,9 @@ def main(argv=None) -> int:
         pallas_interpret=opts["pallas"] and platform != "tpu",
     )
 
-    sys.stderr.write("Running N-body with %i bodies and %i steps\n"
-                     % (n, steps))
+    if rank0:
+        sys.stderr.write("Running N-body with %i bodies and %i steps\n"
+                         % (n, steps))
 
     if opts["resume"]:
         state, start_step = ckpt.load_state(opts["resume"], cfg)
@@ -203,7 +209,10 @@ def main(argv=None) -> int:
 
     comm_time = 0.0
     render_fn = None
-    if secsup > 0:
+    if secsup > 0 and jax.process_count() == 1:
+        # The reference's PARALLEL binary never renders (display() is
+        # duplicated but never called, nbody-par.c:674-702; secsup parsed
+        # but unused) — multi-process runs match that and skip frames.
         from .ops.render import render_frame
 
         def render_fn(st):
@@ -241,7 +250,7 @@ def main(argv=None) -> int:
             k = min(chunk, remaining - done)
             state = run_chunk(state, k)
             done += k
-            if time.time() - lastup > secsup:
+            if render_fn is not None and time.time() - lastup > secsup:
                 jax.block_until_ready(state)
                 render_fn(state)
                 lastup = time.time()
@@ -257,9 +266,19 @@ def main(argv=None) -> int:
     gflops = flops / 1e9 / rtime if rtime > 0 else float("nan")
 
     if multi:
-        state = unpad_state(jax.device_get(state), n_real)
+        if jax.process_count() > 1:
+            # Globally-sharded result: re-assemble the full state on every
+            # process (the reference's final state is likewise complete on
+            # rank 0 after the last Allgatherv, nbody-par.c:913-944).
+            from jax.experimental import multihost_utils
+            state = State(*(
+                np.asarray(multihost_utils.process_allgather(a, tiled=True))
+                for a in state))
+        else:
+            state = jax.device_get(state)
+        state = unpad_state(state, n_real)
 
-    if opts["checkpoint"]:
+    if opts["checkpoint"] and rank0:
         ckpt.save_state(opts["checkpoint"], state, steps)
 
     if opts["check_nans"]:
@@ -273,18 +292,19 @@ def main(argv=None) -> int:
             "State validation ok: max|v|=%.3g max|f|=%.3g in_bounds=%s\n"
             % (diag.max_speed, diag.max_force, diag.pos_in_bounds))
 
-    if not opts["run_xps"]:
-        sys.stdout.write(format_state(state))
-    elif multi:
-        # SIZE,NODES,CPUS_PER_NODE,... -> (total chips, hosts, chips/host).
-        nodes = max(1, jax.process_count())
-        sys.stdout.write(xps_csv_par(n_dev, nodes, n_dev // nodes, n,
-                                     rtime, comm_time, gflops) + "\n")
-    else:
-        sys.stdout.write(xps_csv_seq(n, rtime, gflops) + "\n")
+    if rank0:
+        if not opts["run_xps"]:
+            sys.stdout.write(format_state(state))
+        elif multi:
+            # SIZE,NODES,CPUS_PER_NODE,... -> (total chips, hosts, chips/host).
+            nodes = max(1, jax.process_count())
+            sys.stdout.write(xps_csv_par(n_dev, nodes, n_dev // nodes, n,
+                                         rtime, comm_time, gflops) + "\n")
+        else:
+            sys.stdout.write(xps_csv_seq(n, rtime, gflops) + "\n")
 
-    sys.stderr.write("\nN-body took: %.3f seconds\n" % rtime)
-    sys.stderr.write("Performance N-body: %.2f GFLOPS\n" % gflops)
+        sys.stderr.write("\nN-body took: %.3f seconds\n" % rtime)
+        sys.stderr.write("Performance N-body: %.2f GFLOPS\n" % gflops)
     return 0
 
 

@@ -50,6 +50,16 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_state(state, mesh: Mesh):
     """Place every state array body-sharded on the mesh (the Bcast+scatter
-    analog; requires state.n % mesh size == 0 — use pad_state first)."""
+    analog; requires state.n % mesh size == 0 — use pad_state first).
+
+    Works on a multi-process (multi-host) mesh too: every process holds the
+    identical full host state (deterministic init — the Bcast analog), and
+    each contributes only its addressable shards to the global array."""
     sh = body_sharding(mesh)
+    if jax.process_count() > 1:
+        def make_global(a):
+            a_np = np.asarray(a)
+            return jax.make_array_from_callback(
+                a_np.shape, sh, lambda idx, a_np=a_np: a_np[idx])
+        return jax.tree.map(make_global, state)
     return jax.tree.map(lambda a: jax.device_put(a, sh), state)

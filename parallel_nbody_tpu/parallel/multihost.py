@@ -42,6 +42,12 @@ def initialize(coordinator_address: str | None = None,
     """
     coordinator_address = coordinator_address or os.environ.get(
         "COORDINATOR_ADDRESS")
+    # Manual launches (the mpirun/prun analog, bin/multihost-cli.sh) pass
+    # the process topology via env; TPU pods auto-bootstrap without it.
+    if num_processes is None and "NBODY_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["NBODY_NUM_PROCESSES"])
+    if process_id is None and "NBODY_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["NBODY_PROCESS_ID"])
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

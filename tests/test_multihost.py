@@ -19,6 +19,55 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def test_two_process_full_cli_matches_single_process(tmp_path):
+    """The complete CLI under a 2-process launcher (the nbody-par-under-prun
+    analog): rank 0's stdout must byte-match a single-process run of the
+    same configuration."""
+    from parallel_nbody_tpu.utils import ppm
+    arena = str(tmp_path / "arena.ppm")
+    ppm.create(arena, 1024, 768)
+
+    def env_for(pid, port):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        env["NBODY_PLATFORM"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        if pid is not None:
+            env["COORDINATOR_ADDRESS"] = "localhost:%d" % port
+            env["NBODY_NUM_PROCESSES"] = "2"
+            env["NBODY_PROCESS_ID"] = str(pid)
+        return env
+
+    args = [sys.executable, "-m", "parallel_nbody_tpu.cli",
+            "48", "0", arena, "50", "--devices=4"]
+
+    port = _free_port()
+    procs = [subprocess.Popen(args, cwd=REPO, env=env_for(pid, port),
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.PIPE, text=True)
+             for pid in range(2)]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for pid, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, "rank %d failed:\n%s" % (pid, err[-4000:])
+
+    # Single process, 4 virtual devices: the invariance oracle.
+    env = env_for(None, 0)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    solo = subprocess.run(args, cwd=REPO, env=env, capture_output=True,
+                          text=True, timeout=300)
+    assert solo.returncode == 0, solo.stderr[-4000:]
+
+    def strip_gloo(s):
+        # The gloo transport prints a connection banner to stdout; it is
+        # library noise, not program output.
+        return "".join(l for l in s.splitlines(keepends=True)
+                       if not l.startswith("[Gloo]"))
+
+    rank0_out, rank1_out = strip_gloo(outs[0][0]), strip_gloo(outs[1][0])
+    assert rank0_out == solo.stdout
+    assert rank1_out == ""  # only rank 0 speaks (nbody-par.c:939-959)
+
+
 def test_two_process_distributed_sharded_step():
     port = _free_port()
     env = dict(os.environ)

@@ -154,3 +154,19 @@ def test_pallas_trig_config_rejected():
     from parallel_nbody_tpu.config import SimConfig
     with pytest.raises(ValueError, match="pallas"):
         SimConfig(kernel="pallas", force_mode="trig")
+
+
+def test_run_trajectory_records_frames():
+    import numpy as np
+    from parallel_nbody_tpu.config import SimConfig
+    from parallel_nbody_tpu.models.engine import run, run_trajectory
+    from parallel_nbody_tpu.state import init_state
+
+    cfg = SimConfig()
+    st = init_state(8, cfg)
+    final, xs, ys = run_trajectory(cfg, st, 20, record_every=5)
+    assert xs.shape == (4, 8) and ys.shape == (4, 8)
+    # Last recorded frame is the final state; trajectory matches plain run.
+    np.testing.assert_array_equal(np.asarray(xs[-1]), np.asarray(final.x))
+    ref = run(cfg, st, 20)
+    np.testing.assert_array_equal(np.asarray(final.x), np.asarray(ref.x))
