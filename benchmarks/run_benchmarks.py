@@ -72,7 +72,7 @@ def main():
     if backend != "cpu":
         tpu_grid = {}
         sizes = [4096, 16384] if args.quick else [4096, 16384, 65536,
-                                                  262144, 1048576]
+                                                  262144, 1048576, 2097152]
         for n in sizes:
             cfg = SimConfig(force_mode="fast", dtype="float32",
                             kernel="pallas")

@@ -109,6 +109,17 @@ def test_checkpoint_resume_bitexact(arena, tmp_path):
     assert second.stdout != first.stdout
 
 
+def test_checkpoint_resume_across_shard_counts(arena, tmp_path):
+    # Resume is shard-topology-independent: checkpoint from a 4-way run,
+    # resume on 2 shards, must match a straight single-device run.
+    ck = str(tmp_path / "state.npz")
+    full = run_cli(["16", "0", arena, "200", "--devices=1"])
+    run_cli(["16", "0", arena, "100", "--devices=4", f"--checkpoint={ck}"])
+    resumed = run_cli(["16", "0", arena, "200", "--devices=2",
+                       f"--resume={ck}"])
+    assert resumed.stdout == full.stdout
+
+
 def test_frame_rendering_with_secsup(arena, tmp_path):
     from parallel_nbody_tpu.utils import ppm
     import numpy as np
