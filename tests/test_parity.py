@@ -50,6 +50,20 @@ def test_parity_n128_1000_steps():
     assert format_state(final) == _golden("128_MY_REF_OUTPUT")
 
 
+@pytest.mark.parametrize("n, steps", [
+    (2, 1000),     # the bodyCt lower clamp — minimal system
+    (64, 500),
+    (256, 300),
+    (1000, 100),
+])
+def test_parity_fresh_reference_captures(n, steps):
+    """Golden outputs captured from the reference's own compiled nbody-seq
+    binary (/root/reference/nbody/nbody-seq N 0 arena.ppm STEPS) at configs
+    beyond the repo's shipped fixtures — broader differential evidence."""
+    final = run(CFG, init_state(n, CFG), steps)
+    assert format_state(final) == _golden("seq_%d_%d.out" % (n, steps))
+
+
 @pytest.mark.slow
 def test_parity_n32_100000_steps():
     final = run(CFG, init_state(32, CFG), 100000)
