@@ -31,14 +31,23 @@ from parallel_nbody_tpu.state import random_state
 from parallel_nbody_tpu.utils.output import nr_flops, pair_interactions
 
 
-def time_run(cfg, state, steps):
+def time_run(cfg, state, steps, chunk=None):
     """Wall-time `steps` fused steps with compile excluded and completion
-    forced through a host readback (device-side caching safe)."""
-    out = run(cfg, state, steps)
+    forced through a host readback (device-side caching safe).
+
+    ``chunk`` caps steps per dispatch: tunneled device transports kill the
+    worker when one dispatch runs for more than ~60 s, so very large N must
+    split the loop (each chunk is still one fully-on-device fori_loop)."""
+    chunk = chunk or steps
+    out = run(cfg, state, chunk)
     _ = np.asarray(out.x)
     t0 = time.time()
-    out = run(cfg, out, steps)
-    _ = np.asarray(out.x)
+    done = 0
+    while done < steps:
+        k = min(chunk, steps - done)
+        out = run(cfg, out, k)
+        _ = np.asarray(out.x)
+        done += k
     return time.time() - t0
 
 
@@ -78,9 +87,11 @@ def main():
                             kernel="pallas")
             st = random_state(n, cfg, jax.random.PRNGKey(0))
             # Enough steps that per-dispatch overhead is amortized
-            # (~2e11 pair evaluations ~= 2 s of device time per timing).
+            # (~2e11 pair evaluations ~= 2 s of device time per timing),
+            # but never more than ~15 s of device time in one dispatch.
             k = max(3, min(200, int(2e11 // (n * n // 2))))
-            rtime = time_run(cfg, st, k)
+            chunk = max(1, min(k, int(3e12 // (n * n))))
+            rtime = time_run(cfg, st, k, chunk=chunk)
             tpu_grid[n] = {
                 "steps": k,
                 "ms_per_step": round(rtime / k * 1e3, 3),
