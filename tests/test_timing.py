@@ -10,12 +10,14 @@ from parallel_nbody_tpu.utils.timing import StepTimer, trace
 
 
 def test_step_timer_accounting():
+    import pytest
+
     with StepTimer(128, 10) as t:
         pass
     assert t.rtime >= 0
     # 10 steps of N=128: flop model fixed by the reference (nbody-seq.c:367).
-    assert t.gflops * t.rtime * 1e9 == 10 * (20 * (128 * 127 // 2)
-                                             + 18 * 128 + 4 * 128)
+    assert t.gflops * t.rtime * 1e9 == pytest.approx(
+        10 * (20 * (128 * 127 // 2) + 18 * 128 + 4 * 128))
 
 
 def test_profiler_trace_writes_events(tmp_path):
