@@ -28,3 +28,44 @@ def load_state(path: str, cfg: SimConfig) -> tuple[State, int]:
         dtype = jnp.dtype(cfg.dtype)
         state = State(*(jnp.asarray(z[f], dtype) for f in _FIELDS))
         return state, int(z["step"])
+
+
+# --- Orbax variant: sharded / large-N checkpointing -------------------------
+#
+# The .npz path above is exact and simple (right for parity-scale runs); for
+# production-scale sharded states Orbax writes each device's shards in
+# parallel (and across hosts in a multi-process run) without gathering the
+# full state to one host.
+
+def save_state_orbax(path: str, state: State, step: int) -> None:
+    """Sharding-aware checkpoint: works directly on globally-sharded arrays
+    (no host gather).  ``path`` is a directory."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path),
+                   {"state": state._asdict(), "step": step})
+
+
+def load_state_orbax(path: str, cfg: SimConfig,
+                     sharding=None) -> tuple[State, int]:
+    """Restore an Orbax checkpoint; optionally restore arrays directly into
+    a target ``NamedSharding`` (resharding on read)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        tree = ckptr.restore(os.path.abspath(path))
+    dtype = jnp.dtype(cfg.dtype)
+
+    def place(a):
+        a = jnp.asarray(a, dtype)
+        return jax.device_put(a, sharding) if sharding is not None else a
+
+    state = State(*(place(tree["state"][f]) for f in _FIELDS))
+    return state, int(tree["step"])
