@@ -9,6 +9,8 @@ plus TPU-era extensions (all optional, order-free):
 
     --devices=K       shard the body axis over K devices (default: all)
     --comm=MODE       "allgather" (default) or "ring" (ppermute streaming)
+    --mesh2d=RxC      2-D force-matrix decomposition over an R x C mesh
+                      (O(N/sqrt(P)) per-step comm; overrides --comm)
     --fast            transcendental-free force path (fp32/TPU speed path)
     --pallas          use the Pallas VMEM-tiled force kernel (implies --fast)
     --dtype=T         float32 | float64 (default: float64 on CPU, float32 on TPU)
@@ -53,7 +55,7 @@ def parse_args(argv):
         "run_xps": False, "openmp": False, "measure_comm": False,
         "devices": None, "comm": "allgather", "fast": False, "pallas": False,
         "dtype": None, "no_clamp": False, "checkpoint": None, "resume": None,
-        "check_nans": False,
+        "check_nans": False, "mesh2d": None,
     }
     for a in argv[5:]:
         if a == "--run-xps":
@@ -66,6 +68,9 @@ def parse_args(argv):
             opts["devices"] = int(a.split("=", 1)[1])
         elif a.startswith("--comm="):
             opts["comm"] = a.split("=", 1)[1]
+        elif a.startswith("--mesh2d="):
+            pr, pc = a.split("=", 1)[1].lower().split("x")
+            opts["mesh2d"] = (int(pr), int(pc))
         elif a == "--fast":
             opts["fast"] = True
         elif a == "--pallas":
@@ -176,18 +181,26 @@ def main(argv=None) -> int:
         state, start_step = init_state(n, cfg), 0
     remaining = max(0, steps - start_step)
 
-    n_dev = opts["devices"] or len(jax.devices())
+    if opts["mesh2d"]:
+        n_dev = opts["mesh2d"][0] * opts["mesh2d"][1]
+    else:
+        n_dev = opts["devices"] or len(jax.devices())
     multi = n_dev > 1
     if multi:
         try:
-            mesh = make_mesh(n_dev)
+            if opts["mesh2d"]:
+                from .parallel.grid2d import make_mesh2d, shard_state_2d
+                mesh = make_mesh2d(*opts["mesh2d"])
+            else:
+                mesh = make_mesh(n_dev)
         except ValueError as e:
             sys.stderr.write("%s\n" % e)
             return 1
         # Pallas tiles need the shard size to stay tile-aligned.
         pad_mult = n_dev * (128 if opts["pallas"] else 1)
         state, n_real = pad_state(state, pad_mult)
-        state = shard_state(state, mesh)
+        state = (shard_state_2d(state, mesh) if opts["mesh2d"]
+                 else shard_state(state, mesh))
     else:
         n_real = n
 
@@ -197,7 +210,11 @@ def main(argv=None) -> int:
 
     def compile_chunk(k):
         if k not in compiled_cache:
-            if multi:
+            if multi and opts["mesh2d"]:
+                from .parallel.grid2d import make_grid2d_run
+                fn = make_grid2d_run(cfg, mesh, k)
+                compiled_cache[k] = fn.lower(state).compile()
+            elif multi:
                 fn = make_sharded_run(cfg, mesh, k, opts["comm"])
                 compiled_cache[k] = fn.lower(state).compile()
             else:

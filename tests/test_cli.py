@@ -150,3 +150,11 @@ def test_unknown_flag(arena):
 def test_openmp_flag_accepted(arena):
     r = run_cli(["8", "0", arena, "1", "--openmp"])
     assert r.returncode == 0
+
+
+def test_mesh2d_golden_diff(arena):
+    # 2-D force-matrix decomposition through the full CLI: byte-identical
+    # to the golden fixture.
+    r = run_cli(["128", "0", arena, "1000", "--mesh2d=2x4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout == open(REF_FIXTURE).read()
