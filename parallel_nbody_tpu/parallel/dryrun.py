@@ -82,8 +82,27 @@ def run_dryrun(n_devices: int, steps: int = 3) -> None:
             raise RuntimeError(
                 "sharded output (comm=%s, %d devices) diverged from the "
                 "single-device run" % (comm, n_devices))
-    print("dryrun_multichip ok: %d devices, comm=allgather+ring, %d bodies, "
-          "%d steps, output matches single-device" % (n_devices, n, steps))
+
+    # 2-D force-matrix decomposition over a (2, n/2) mesh when possible.
+    modes = "allgather+ring"
+    if n_devices % 2 == 0 and n_devices >= 4:
+        from ..parallel.grid2d import (make_grid2d_run, make_mesh2d,
+                                       shard_state_2d)
+        mesh2d = make_mesh2d(2, n_devices // 2)
+        padded, n_real = pad_state(state, n_devices)
+        padded = shard_state_2d(padded, mesh2d)
+        out = make_grid2d_run(cfg, mesh2d, steps)(padded)
+        jax.block_until_ready(out)
+        got = format_state(unpad_state(jax.device_get(out), n_real))
+        if got != expected:
+            raise RuntimeError(
+                "grid2d output (2x%d mesh) diverged from the single-device "
+                "run" % (n_devices // 2))
+        modes += "+grid2d(2x%d)" % (n_devices // 2)
+
+    print("dryrun_multichip ok: %d devices, comm=%s, %d bodies, "
+          "%d steps, output matches single-device"
+          % (n_devices, modes, n, steps))
 
 
 def main(argv=None) -> int:
