@@ -73,21 +73,38 @@ def worker(process_id: int, num_processes: int, port: int) -> None:
                                      lambda idx, a=a: a[idx])
         for a in padded_np))
 
-    for comm in ("allgather", "ring"):
-        out = make_sharded_run(cfg, mesh, STEPS, comm)(global_state)
-        jax.block_until_ready(out)
-        for field, arr, want in zip(State._fields, out, expected):
+    def check(arr_state, label):
+        for field, arr, want in zip(State._fields, arr_state, expected):
             for shard in arr.addressable_shards:
                 got = np.asarray(shard.data)
                 ref = want[shard.index]
                 np.testing.assert_allclose(
                     got, ref, rtol=1e-9, atol=1e-6,
-                    err_msg="field %s, comm %s, shard %s diverged"
-                            % (field, comm, shard.index))
+                    err_msg="field %s, %s, shard %s diverged"
+                            % (field, label, shard.index))
 
-    print("process %d/%d MULTIHOST_OK (%d global devices, comm="
-          "allgather+ring, %d bodies, %d steps)"
-          % (process_id, num_processes, n_global, n, STEPS), flush=True)
+    for comm in ("allgather", "ring"):
+        out = make_sharded_run(cfg, mesh, STEPS, comm)(global_state)
+        jax.block_until_ready(out)
+        check(out, "comm=" + comm)
+
+    modes = "allgather+ring"
+    if n_global % 2 == 0 and n_global >= 4:
+        # 2-D force-matrix decomposition spanning both processes.
+        from ..parallel.grid2d import (make_grid2d_run, make_mesh2d,
+                                       shard_state_2d)
+        mesh2d = make_mesh2d(2, n_global // 2)
+        global_2d = shard_state_2d(
+            State(*(jnp_like for jnp_like in padded_np)), mesh2d)
+        out = make_grid2d_run(cfg, mesh2d, STEPS)(global_2d)
+        jax.block_until_ready(out)
+        check(out, "grid2d")
+        modes += "+grid2d(2x%d)" % (n_global // 2)
+
+    print("process %d/%d MULTIHOST_OK (%d global devices, comm=%s, "
+          "%d bodies, %d steps)"
+          % (process_id, num_processes, n_global, modes, n, STEPS),
+          flush=True)
 
 
 def main(argv=None) -> int:
