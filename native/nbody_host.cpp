@@ -15,6 +15,7 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 
 #include <fcntl.h>
@@ -87,6 +88,28 @@ void nbody_init(uint32_t seed, int64_t n, int32_t xdim, int32_t ydim,
     xv[b] = ((static_cast<int64_t>(rng.next() % 20000)) - 10000) / 2000.0;
     yv[b] = ((static_cast<int64_t>(rng.next() % 20000)) - 10000) / 2000.0;
   }
+}
+
+// Render the reference's final-state printout (print, nbody-seq.c:356-365):
+// one "%10.3f %10.3f %10.3f %10.3f %10.3f %10.3f\n" line per body, written
+// into `out` (caller-sized; each line is at most line_cap bytes).  Returns
+// the number of bytes written, or -1 if a line would overflow line_cap.
+// snprintf IS the reference's printf, so rounding/width semantics are
+// inherited rather than re-implemented.
+int64_t nbody_format_state(int64_t n,
+                           const double* x, const double* y,
+                           const double* xf, const double* yf,
+                           const double* xv, const double* yv,
+                           char* out, int64_t line_cap) {
+  int64_t pos = 0;
+  for (int64_t b = 0; b < n; ++b) {
+    int w = snprintf(out + pos, static_cast<size_t>(line_cap),
+                     "%10.3f %10.3f %10.3f %10.3f %10.3f %10.3f\n",
+                     x[b], y[b], xf[b], yf[b], xv[b], yv[b]);
+    if (w < 0 || w >= line_cap) return -1;
+    pos += w;
+  }
+  return pos;
 }
 
 // mmap the pixel region of an existing PPM at data_offset and blit a frame,

@@ -58,6 +58,10 @@ def load():
         np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
         ctypes.c_int64]
     lib.nbody_ppm_blit.restype = ctypes.c_int
+    lib.nbody_format_state.argtypes = [
+        ctypes.c_int64, dptr, dptr, dptr, dptr, dptr, dptr,
+        ctypes.c_char_p, ctypes.c_int64]
+    lib.nbody_format_state.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -82,6 +86,24 @@ def glibc_rand_fill(seed: int, n: int) -> np.ndarray:
     out = np.empty(n, np.int64)
     lib.nbody_glibc_rand_fill(seed, n, out)
     return out
+
+
+def format_state_native(x, y, xf, yf, xv, yv) -> str | None:
+    """Reference final-state printout via C snprintf (exact printf
+    semantics); None when the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    n = x.shape[0]
+    # %10.3f widens for huge magnitudes; 64 bytes/field is ample headroom.
+    line_cap = 6 * 64
+    buf = ctypes.create_string_buffer(n * line_cap + 1)
+    args = [np.ascontiguousarray(a, np.float64)
+            for a in (x, y, xf, yf, xv, yv)]
+    nbytes = lib.nbody_format_state(n, *args, buf, line_cap)
+    if nbytes < 0:
+        return None
+    return buf.raw[:nbytes].decode("ascii")
 
 
 def ppm_blit(path: str, data_offset: int, pixels: np.ndarray) -> bool:

@@ -56,3 +56,24 @@ def test_ppm_blit(tmp_path):
     px = np.random.default_rng(0).integers(0, 255, (16, 32, 3)).astype(np.uint8)
     assert native_bridge.ppm_blit(p, h.data_offset, px)
     np.testing.assert_array_equal(ppm.read_pixels(h), px)
+
+
+def test_native_formatter_matches_python():
+    import numpy as np
+    import pytest
+    from parallel_nbody_tpu.utils import native_bridge
+    if not native_bridge.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(0)
+    # Mix of magnitudes incl. the ~1e6 forces seen in real outputs, exact
+    # halves (banker's-rounding hazard), negatives, zeros.
+    vals = [rng.uniform(-1e6, 1e6, 64),
+            np.array([0.0, -0.0, 0.0005, -0.0005, 1.0005, 2.5, -2.5] * 8
+                     + [0.0] * 8)]
+    for base in vals:
+        cols = [np.roll(base, k) for k in range(6)]
+        native = native_bridge.format_state_native(*cols)
+        py = "".join("%10.3f %10.3f %10.3f %10.3f %10.3f %10.3f\n"
+                     % tuple(c[i] for c in cols)
+                     for i in range(base.shape[0]))
+        assert native == py
