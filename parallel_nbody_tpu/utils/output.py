@@ -19,9 +19,10 @@ _LINE = "%10.3f %10.3f %10.3f %10.3f %10.3f %10.3f"
 def format_state(state: State) -> str:
     """Byte-identical rendering of the reference's final-state printout.
 
-    Uses the native snprintf formatter when built (exact printf semantics,
-    ~20x faster at N=10000); the Python % formatting below is the verified
-    byte-identical fallback."""
+    Uses the native snprintf formatter when built — it INHERITS the
+    reference's printf rounding/width semantics instead of re-implementing
+    them (speed is a wash; snprintf dominates both paths).  The Python %
+    formatting below is the verified byte-identical fallback."""
     x = np.asarray(state.x, np.float64)
     y = np.asarray(state.y, np.float64)
     xf = np.asarray(state.xf, np.float64)
