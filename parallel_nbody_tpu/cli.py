@@ -239,7 +239,7 @@ def main(argv=None) -> int:
     if opts["measure_comm"] and opts["run_xps"] and multi:
         from .utils.timing import measure_comm_fraction
         comm_time_per_step = measure_comm_fraction(
-            cfg, mesh, state, opts["comm"])
+            cfg, mesh, state, "grid2d" if opts["mesh2d"] else opts["comm"])
     else:
         comm_time_per_step = 0.0
 

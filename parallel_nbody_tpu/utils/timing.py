@@ -27,8 +27,12 @@ def measure_comm_fraction(cfg: SimConfig, mesh, state, comm: str,
     """Per-step communication time (seconds) of the sharded step's collective.
 
     Times a jitted loop containing only the per-step collective (positional
-    all-gather, or the full ppermute ring) over the same sharded arrays.
+    all-gather, the full ppermute ring, or the grid2d row/col exchange +
+    psum) over the same sharded arrays.
     """
+    if comm == "grid2d":
+        return _measure_comm_grid2d(mesh, state, iters)
+
     from ..parallel.mesh import BODY_AXIS
 
     spec = P(BODY_AXIS)
@@ -61,6 +65,39 @@ def measure_comm_fraction(cfg: SimConfig, mesh, state, comm: str,
 
     f = jax.jit(jax.shard_map(local, mesh=mesh,
                               in_specs=(spec, spec), out_specs=(spec, spec)))
+    jax.block_until_ready(f(state.x, state.y))  # compile
+    t0 = time.time()
+    jax.block_until_ready(f(state.x, state.y))
+    return (time.time() - t0) / iters
+
+
+def _measure_comm_grid2d(mesh, state, iters: int) -> float:
+    """Comm-only timing of the 2-D decomposition's per-step exchange: row
+    gather over cols + col gather over rows + the psum reduction."""
+    from ..parallel.grid2d import _SPEC, COL_AXIS, ROW_AXIS
+
+    def local(x, y):
+        blk = x.shape[0]
+
+        def body(_, carry):
+            x, y = carry
+            xr = lax.all_gather(x, COL_AXIS, tiled=True)
+            yr = lax.all_gather(y, COL_AXIS, tiled=True)
+            xc = lax.all_gather(x, ROW_AXIS, tiled=True)
+            yc = lax.all_gather(y, ROW_AXIS, tiled=True)
+            fx = lax.psum(xr + jnp.sum(xc) * 0, COL_AXIS)
+            fy = lax.psum(yr + jnp.sum(yc) * 0, COL_AXIS)
+            c = lax.axis_index(COL_AXIS)
+            # Slice back to the shard so none of it can be folded away.
+            x = lax.dynamic_slice_in_dim(fx, c * blk, blk) * 0 + x
+            y = lax.dynamic_slice_in_dim(fy, c * blk, blk) * 0 + y
+            return x, y
+
+        return lax.fori_loop(0, iters, body, (x, y))
+
+    f = jax.jit(jax.shard_map(local, mesh=mesh,
+                              in_specs=(_SPEC, _SPEC),
+                              out_specs=(_SPEC, _SPEC)))
     jax.block_until_ready(f(state.x, state.y))  # compile
     t0 = time.time()
     jax.block_until_ready(f(state.x, state.y))

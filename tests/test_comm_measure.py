@@ -41,3 +41,13 @@ def test_ring_comm_grows_with_shard_count():
     t2 = _comm_per_step(2, "ring")
     t8 = _comm_per_step(8, "ring")
     assert t8 > t2, (t2, t8)
+
+
+def test_grid2d_comm_positive():
+    from parallel_nbody_tpu.parallel.grid2d import (make_mesh2d,
+                                                    shard_state_2d)
+    mesh = make_mesh2d(2, 4)
+    st = init_state(N, CFG)
+    padded, _ = pad_state(st, 8)
+    padded = shard_state_2d(padded, mesh)
+    assert measure_comm_fraction(CFG, mesh, padded, "grid2d") > 0
