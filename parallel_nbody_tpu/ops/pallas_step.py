@@ -218,7 +218,7 @@ def _force_kernel_streamed(xi_ref, yi_ref, mi_ref, ri_ref,
 
 def pallas_block_forces_streamed(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
                                  tile_i: int = 512, tile_j: int = 1024,
-                                 band: int = 32768,
+                                 band: int = 65536,
                                  interpret: bool = False):
     """HBM-streaming block forces for N beyond the 128K VMEM-resident limit.
 
