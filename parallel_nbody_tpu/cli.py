@@ -69,8 +69,15 @@ def parse_args(argv):
         elif a.startswith("--comm="):
             opts["comm"] = a.split("=", 1)[1]
         elif a.startswith("--mesh2d="):
-            pr, pc = a.split("=", 1)[1].lower().split("x")
-            opts["mesh2d"] = (int(pr), int(pc))
+            try:
+                pr, pc = a.split("=", 1)[1].lower().split("x")
+                opts["mesh2d"] = (int(pr), int(pc))
+                if opts["mesh2d"][0] < 1 or opts["mesh2d"][1] < 1:
+                    raise ValueError
+            except ValueError:
+                sys.stderr.write("Bad --mesh2d value (expected RxC, e.g. "
+                                 "--mesh2d=2x4): %s\n" % a)
+                sys.exit(1)
         elif a == "--fast":
             opts["fast"] = True
         elif a == "--pallas":

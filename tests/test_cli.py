@@ -158,3 +158,10 @@ def test_mesh2d_golden_diff(arena):
     r = run_cli(["128", "0", arena, "1000", "--mesh2d=2x4"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert r.stdout == open(REF_FIXTURE).read()
+
+
+def test_mesh2d_bad_value(arena):
+    r = run_cli(["32", "0", arena, "1", "--mesh2d=2x"])
+    assert r.returncode == 1 and "Bad --mesh2d" in r.stderr
+    r = run_cli(["32", "0", arena, "1", "--mesh2d=0x4"])
+    assert r.returncode == 1 and "Bad --mesh2d" in r.stderr
