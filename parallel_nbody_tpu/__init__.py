@@ -6,8 +6,9 @@ A ground-up rebuild of jfdev001/parallel-nbody (an MPI+OpenMP direct O(N^2)
   - ``config`` / ``state``     — frozen physics config, SoA pytree state
   - ``ops``                    — force / integration ops (dense XLA + Pallas)
   - ``models.engine``          — jitted on-device step loop
-  - ``parallel``               — mesh sharding, all-gather and ppermute-ring
-                                 multi-chip steps (the MPI layer, TPU-style)
+  - ``parallel``               — mesh sharding, all-gather / ppermute-ring /
+                                 2-D force-matrix multi-chip steps, and
+                                 multi-host launch (the MPI layer, TPU-style)
   - ``utils``                  — glibc-rand parity init, PPM I/O, rendering,
                                  output contract, checkpointing, timing
 
