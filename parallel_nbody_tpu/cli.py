@@ -18,6 +18,9 @@ plus TPU-era extensions (all optional, order-free):
     --check-nans      enable NaN debugging + post-run state validation
     --checkpoint=PATH save final state as .npz
     --resume=PATH     restore state from .npz and continue
+    --chunk-steps=K   cap steps per device dispatch (default: all steps in
+                      one on-device loop — fastest; set K when the device
+                      transport limits single-dispatch duration)
 
 Behavioral contract preserved exactly:
   - bodyCt clamped to [2, 10000] with the reference's stderr messages
@@ -55,7 +58,7 @@ def parse_args(argv):
         "run_xps": False, "openmp": False, "measure_comm": False,
         "devices": None, "comm": "allgather", "fast": False, "pallas": False,
         "dtype": None, "no_clamp": False, "checkpoint": None, "resume": None,
-        "check_nans": False, "mesh2d": None,
+        "check_nans": False, "mesh2d": None, "chunk_steps": None,
     }
     for a in argv[5:]:
         if a == "--run-xps":
@@ -85,6 +88,8 @@ def parse_args(argv):
             opts["pallas"] = True
         elif a.startswith("--dtype="):
             opts["dtype"] = a.split("=", 1)[1]
+        elif a.startswith("--chunk-steps="):
+            opts["chunk_steps"] = int(a.split("=", 1)[1])
         elif a == "--no-clamp":
             opts["no_clamp"] = True
         elif a == "--check-nans":
@@ -255,19 +260,24 @@ def main(argv=None) -> int:
     # MPI_Barrier similarly — XLA compilation is our one-time launcher
     # cost).  The chunked loop may end with a partial chunk; pre-compile
     # that size too so no compile lands inside the timed region.
+    chunked = secsup > 0 or opts["chunk_steps"]
     chunk = max(1, min(1000, remaining // 20 or 1))
+    if opts["chunk_steps"]:
+        chunk = min(chunk, opts["chunk_steps"]) if secsup > 0 \
+            else opts["chunk_steps"]
     if remaining > 0:
-        if secsup > 0:
-            compile_chunk(chunk)
-            if remaining % chunk:
+        if chunked:
+            compile_chunk(min(chunk, remaining))
+            if remaining > chunk and remaining % chunk:
                 compile_chunk(remaining % chunk)
         else:
             compile_chunk(remaining)
 
     t0 = time.time()
-    if secsup > 0 and remaining > 0:
-        # Host-chunked loop so wall-clock-driven frame updates can fire
-        # (reference main loop, nbody-seq.c:457-472).
+    if chunked and remaining > 0:
+        # Host-chunked loop: wall-clock-driven frame updates (reference
+        # main loop, nbody-seq.c:457-472) and/or a per-dispatch step cap
+        # (--chunk-steps, for transports limiting dispatch duration).
         lastup = 0.0
         done = 0
         while done < remaining:

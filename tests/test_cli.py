@@ -165,3 +165,10 @@ def test_mesh2d_bad_value(arena):
     assert r.returncode == 1 and "Bad --mesh2d" in r.stderr
     r = run_cli(["32", "0", arena, "1", "--mesh2d=0x4"])
     assert r.returncode == 1 and "Bad --mesh2d" in r.stderr
+
+
+def test_chunk_steps_matches_single_dispatch(arena):
+    a = run_cli(["32", "0", arena, "100"])
+    b = run_cli(["32", "0", arena, "100", "--chunk-steps=7"])
+    assert b.returncode == 0, b.stderr[-2000:]
+    assert a.stdout == b.stdout
