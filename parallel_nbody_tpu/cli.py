@@ -291,6 +291,11 @@ def main(argv=None) -> int:
     elif remaining > 0:
         state = run_chunk(state, remaining)
     jax.block_until_ready(state)
+    if jax.process_count() == 1:
+        # Tunneled/async device transports can return from
+        # block_until_ready before device work completes; a one-element
+        # readback is a true completion fence (see docs/REPORT.md).
+        jax.device_get(state.x[:1])
     rtime = time.time() - t0
     comm_time = comm_time_per_step * remaining
 
