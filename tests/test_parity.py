@@ -76,3 +76,12 @@ def test_zero_steps_prints_init():
     out = format_state(final)
     assert out.splitlines()[0] == (
         "   313.000      9.000      0.000      0.000      4.575      2.837")
+
+
+@pytest.mark.slow
+def test_parity_n4096_largest_exact():
+    """N=4096 x 100 steps — the largest configuration measured byte-exact
+    against the reference binary (at N=10000 one summation-order print-ulp
+    appears; see docs/REPORT.md 'Where byte-parity ends')."""
+    final = run(CFG, init_state(4096, CFG), 100)
+    assert format_state(final) == _golden("seq_4096_100.out")
