@@ -85,3 +85,9 @@ def test_parity_n4096_largest_exact():
     appears; see docs/REPORT.md 'Where byte-parity ends')."""
     final = run(CFG, init_state(4096, CFG), 100)
     assert format_state(final) == _golden("seq_4096_100.out")
+
+
+@pytest.mark.slow
+def test_parity_n2048():
+    final = run(CFG, init_state(2048, CFG), 100)
+    assert format_state(final) == _golden("seq_2048_100.out")
