@@ -29,7 +29,8 @@ from parallel_nbody_tpu.config import SimConfig
 from parallel_nbody_tpu.ops.integrate import (compute_positions,
                                               compute_velocities)
 from parallel_nbody_tpu.ops.pallas_step import pallas_block_forces_streamed
-from parallel_nbody_tpu.ops.render import _min_hit_index_rows, _NO_HIT
+from parallel_nbody_tpu.ops.render import (_NO_HIT, min_hit_index_rows,
+                                           tint_rgb)
 from parallel_nbody_tpu.state import random_state
 from parallel_nbody_tpu.utils import ppm
 
@@ -75,11 +76,13 @@ def main() -> int:
     jax.device_get(x[:1])
     t_step = time.time() - t0
 
-    # On-TPU raster of the stepped state.  At N=10M the (bodies, rows, W)
-    # hit tensor cannot materialize, so bodies are chunked and the per-chunk
-    # min-index results combined: earlier chunks hold smaller global indices,
-    # so an elementwise min preserves the reference's first-hit-by-index
-    # semantics exactly.
+    # On-TPU raster of the stepped state via the SHARED chunked min-index
+    # helpers (ops/render.py): bodies are chunked and the per-chunk min-index
+    # results merged — earlier chunks hold smaller global indices, so an
+    # elementwise min preserves the reference's first-hit-by-index semantics
+    # exactly.  Host-chunked (rather than render_frame's on-device
+    # body_chunk loop) only because of this environment's ~60 s dispatch
+    # limit; each chunk stays one fused reduction on-device.
     t0 = time.time()
     body_chunk = 250_000
     radius = st.radius
@@ -90,8 +93,7 @@ def main() -> int:
         xs = jax.lax.dynamic_slice_in_dim(x, b0, body_chunk)
         ysb = jax.lax.dynamic_slice_in_dim(y, b0, body_chunk)
         rs = jax.lax.dynamic_slice_in_dim(radius, b0, body_chunk)
-        sub = _min_hit_index_rows(xs, ysb, rs, ys_all, cfg.xdim)
-        return jnp.where(sub == _NO_HIT, _NO_HIT, sub + b0)
+        return min_hit_index_rows(xs, ysb, rs, ys_all, cfg.xdim, base_idx=b0)
 
     best = np.full((cfg.ydim, cfg.xdim), _NO_HIT, np.int64)
     for b0 in range(0, n, body_chunk):
@@ -101,10 +103,7 @@ def main() -> int:
             print("  render %d/%d (%.1f s elapsed)"
                   % (b0 // body_chunk + 1, n // body_chunk,
                      time.time() - t0), flush=True)
-    tint = np.where(best == _NO_HIT, 0, (0xFFF * (best + 1)) // (n + 2))
-    frame = np.stack([(tint & 0xF) << 4, tint & 0xF0, (tint & 0xF00) >> 4],
-                     axis=-1).astype(np.uint8)
-    frame[best == _NO_HIT] = 0
+    frame = np.asarray(tint_rgb(jnp.asarray(best.astype(np.int32)), n))
     ppm.create(out_ppm, cfg.xdim, cfg.ydim, frame)
     t_render = time.time() - t0
 

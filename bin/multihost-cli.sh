@@ -4,7 +4,9 @@
 # devices each) join one jax.distributed runtime, run the complete CLI with
 # the body axis sharded over the GLOBAL mesh, and rank 0 prints the final
 # state / CSV.  Usage: multihost-cli.sh [NPROCS] [N] [STEPS] [extra flags...]
-set -u
+# Rank stdout is filtered of the gloo backend's "[Gloo] Rank N ..." banners
+# so the captured output diffs cleanly against the sequential oracle.
+set -u -o pipefail
 . "$(dirname "$0")/common.sh"
 
 NPROCS="${1:-2}"
@@ -23,7 +25,7 @@ for PID in $(seq 0 $((NPROCS - 1))); do
   NBODY_PLATFORM=cpu \
   XLA_FLAGS="--xla_force_host_platform_device_count=2" \
   python -m parallel_nbody_tpu.cli "$N" 0 "$ARENA" "$STEPS" \
-    --devices="$NDEV" "$@" &
+    --devices="$NDEV" "$@" | sed '/^\[Gloo\]/d' &
   pids+=($!)
 done
 

@@ -21,6 +21,10 @@ plus TPU-era extensions (all optional, order-free):
     --chunk-steps=K   cap steps per device dispatch (default: all steps in
                       one on-device loop — fastest; set K when the device
                       transport limits single-dispatch duration)
+    --xps-precise     widen the par CSV's COMMTIME/RATIO fields to 6
+                      decimals (sub-ms ICI collectives vanish at the
+                      reference's %.3f); without it the par row byte-matches
+                      nbody-par.c:956
 
 Behavioral contract preserved exactly:
   - bodyCt clamped to [2, 10000] with the reference's stderr messages
@@ -59,6 +63,7 @@ def parse_args(argv):
         "devices": None, "comm": "allgather", "fast": False, "pallas": False,
         "dtype": None, "no_clamp": False, "checkpoint": None, "resume": None,
         "check_nans": False, "mesh2d": None, "chunk_steps": None,
+        "xps_precise": False,
     }
     for a in argv[5:]:
         if a == "--run-xps":
@@ -89,7 +94,16 @@ def parse_args(argv):
         elif a.startswith("--dtype="):
             opts["dtype"] = a.split("=", 1)[1]
         elif a.startswith("--chunk-steps="):
-            opts["chunk_steps"] = int(a.split("=", 1)[1])
+            try:
+                opts["chunk_steps"] = int(a.split("=", 1)[1])
+                if opts["chunk_steps"] < 1:
+                    raise ValueError
+            except ValueError:
+                sys.stderr.write("Bad --chunk-steps value (expected an "
+                                 "integer >= 1): %s\n" % a)
+                sys.exit(1)
+        elif a == "--xps-precise":
+            opts["xps_precise"] = True
         elif a == "--no-clamp":
             opts["no_clamp"] = True
         elif a == "--check-nans":
@@ -244,8 +258,14 @@ def main(argv=None) -> int:
         # but unused) — multi-process runs match that and skip frames.
         from .ops.render import render_frame
 
+        # Beyond ~256K bodies, chunk the body axis so the per-chunk hit
+        # intermediate stays bounded regardless of XLA's fusion choices
+        # (the chunk size is proven on-TPU by benchmarks/huge_n.py).
+        body_chunk = None if state.n <= 262144 else 262144
+
         def render_fn(st):
-            frame = render_frame(cfg, st.x, st.y, st.radius, n_real)
+            frame = render_frame(cfg, st.x, st.y, st.radius, n_real,
+                                 32, body_chunk)
             ppmio.write_pixels(ppm, np.asarray(jax.device_get(frame)))
 
     if opts["measure_comm"] and opts["run_xps"] and multi:
@@ -338,7 +358,8 @@ def main(argv=None) -> int:
             # SIZE,NODES,CPUS_PER_NODE,... -> (total chips, hosts, chips/host).
             nodes = max(1, jax.process_count())
             sys.stdout.write(xps_csv_par(n_dev, nodes, n_dev // nodes, n,
-                                         rtime, comm_time, gflops) + "\n")
+                                         rtime, comm_time, gflops,
+                                         precise=opts["xps_precise"]) + "\n")
         else:
             sys.stdout.write(xps_csv_seq(n, rtime, gflops) + "\n")
 

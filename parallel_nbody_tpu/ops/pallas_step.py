@@ -14,21 +14,53 @@ across cores).  Design:
   - Transcendental-free except ONE rsqrt per pair:
         scale = m_j * rsqrt(forced^2 * dsqr)
     which equals m_j / (forced * |d|); the row factor G * m_i is applied once
-    per row AFTER the column reduction, so the inner loop is ~14 VPU ops/pair.
-  - Self-pairs and zero-mass padding need no masks: dsqr == 0 gives
-    rsqrt(eps-floored 0) -> huge but finite, then scale * dx == 0; far-away
-    padding overflows forced^2*dsqr to +inf and rsqrt(inf) == 0.
+    per row AFTER the column reduction, so the inner loop is ~17 VPU ops/pair.
+  - Zero-mass padding needs no masks: far-away padding overflows
+    forced^2*dsqr to +inf and rsqrt(inf) == 0; the m_j factor and the
+    G*m_i row factor keep everything else at zero.
   - Softening ``max(dsqr, (r_i+r_j)^2)`` exactly as in the reference.
+
+Coincident-pair semantics (nbody-seq.c:91-106; see ops/forces.py): two
+DISTINCT bodies at the same position must feel ``force * (1, 0)`` with sign
+``sign(gj - gi)`` by GLOBAL body index, while true self-pairs stay at zero.
+The kernel implements this with a dx bias, priced by a 3-segment column
+sweep (measured: a per-pair bias tensor costs ~12% of step time, a constant
+bias ~4% — benchmarks/bias_variants_probe.py):
+
+  dx' = dx + bias, so at a coincident pair |d'| = |bias| and the
+  contribution m_j * dx' / (forced * |d'|) collapses to
+  m_j * sign(bias) / forced — the reference kick, |bias| cancelling.
+
+  - column tiles ENTIRELY BELOW the row tile's global index range: every
+    gj < gi, so bias = -C, a compile-time scalar constant (C = 2^-26;
+    C^2 << (r_i+r_j)^2 keeps softening exact, and C perturbs non-coincident
+    dx by at most ~1 ulp).
+  - column tiles ENTIRELY ABOVE: bias = +C.
+  - the <= ceil(tile_i/tile_j)+1 OVERLAPPING tiles: per-pair
+    bias = (gj - gi) * 2^-50 computed from OVERLAP-LOCAL indices (exact for
+    any N: the scale is a power of two and local indices are < 2^24, so
+    bias differences never round — no sign flips).  Self-pairs get
+    bias == 0 -> dx' == 0 -> zero contribution via the eps term.
+
+The segment bounds are traced integer tile indices; the three fori_loops
+have dynamic trip counts, so only real overlap tiles pay the per-pair cost.
+The eps in ``rsqrt(forced^2*dsqr + eps)`` (1e-36, fused into the multiply
+chain) only de-NaNs two measure-zero corners: all-zero padding products and
+a real pair whose dx happens to equal the bias exactly (contribution
+becomes 0 instead of NaN).
 
 The kernel is rectangular (row block x column block), so the same code path
 serves the single-chip square case, the sharded all-gather case (local rows x
 gathered columns) and the ppermute ring case (local rows x visiting block) —
 the TPU analogs of the reference's owned-x-owned / owned-x-remote split.
+``row_g0``/``col_g0`` carry each block's global starting body index.
 
 One-sided accumulation (each row tile sums over ALL columns) follows the
 reference's cross-rank redundancy model (nbody-par.c:302-308) rather than
 Newton-3rd folding: on the VPU the duplicated multiply-adds are cheaper than
-the cross-tile scatter a symmetric update would require.
+the cross-tile scatter a symmetric update would require.  (Also measured
+and rejected: MXU-offloaded column reductions — the (tile, tile) x ones
+matvec does not overlap and costs ~18%; see docs/REPORT.md.)
 """
 
 from __future__ import annotations
@@ -41,14 +73,30 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Floor for forced^2 * dsqr.  Real pairs have forced >= 4 (radius >= 1), so
-# this only de-NaNs coincident zero-mass padding pairs.
-_EPS = 1e-30
+# De-NaN floor, added (not max-ed: the add fuses into the multiply chain)
+# to forced^2 * dsqr.  Real coincident pairs have forced >= 4 (radius >= 1)
+# and biased dsqr >= C^2, putting their rsqrt argument >= 16 * 2^-100 —
+# far above eps, so the kick magnitude is unaffected.
+_EPS = 1e-36
+_EPS64 = 1e-200
+
+# Constant dx bias for non-overlapping column segments (sign = segment side)
+# and per-pair bias scale for overlapping tiles (powers of two => exact).
+_CBIAS = 2.0 ** -26
+_CBIAS64 = 2.0 ** -40
+_PBIAS = 2.0 ** -50
+_PBIAS64 = 2.0 ** -80
 
 # Far-outside-the-arena position for padding bodies (matches state.pad_state):
 # dsqr against any real body overflows forced^2*dsqr toward +inf in fp32, so
-# rsqrt gives 0; padding-vs-padding pairs hit the _EPS floor with zero mass.
+# rsqrt gives 0; padding-vs-padding pairs hit the eps floor with zero mass.
 _FAR = 1e9
+
+
+def _consts(dtype):
+    if jnp.dtype(dtype) == jnp.float64:
+        return _CBIAS64, _PBIAS64, _EPS64
+    return _CBIAS, _PBIAS, _EPS
 
 
 def _round_up(v: int, m: int) -> int:
@@ -72,41 +120,100 @@ def _pad_block(x, y, m, r, size: int):
             _pad_lane(m, size, 0.0), _pad_lane(r, size, 0.0))
 
 
-def _force_kernel(xi_ref, yi_ref, mi_ref, ri_ref,
-                  xj_ref, yj_ref, mj_ref, rj_ref,
-                  xf_ref, yf_ref,
-                  *, tile_i: int, tile_j: int, n_cols: int, gravity: float):
-    i = pl.program_id(0)
-    row0 = i * tile_i
+def _as_scalar_arr(v):
+    return jnp.asarray(v, jnp.int32).reshape(1, 1)
 
-    xi = xi_ref[0, pl.ds(row0, tile_i)].reshape(tile_i, 1)
-    yi = yi_ref[0, pl.ds(row0, tile_i)].reshape(tile_i, 1)
-    ri = ri_ref[0, pl.ds(row0, tile_i)].reshape(tile_i, 1)
 
-    def col_step(j, acc):
+def _segment_bounds(r0_rel, tile_i: int, tile_j: int, n_tiles):
+    """Split ``n_tiles`` column tiles into (below, overlap, above) segments
+    relative to a row tile whose BAND-LOCAL index range is
+    [r0_rel, r0_rel + tile_i).  Returns traced (j1, j2): tiles [0, j1) lie
+    entirely below the row range, [j1, j2) overlap it, [j2, n_tiles) lie
+    entirely above."""
+    j1 = jnp.clip(jnp.floor_divide(r0_rel, tile_j), 0, n_tiles)
+    j2 = jnp.clip(jnp.floor_divide(r0_rel + tile_i + tile_j - 1, tile_j),
+                  j1, n_tiles)
+    return j1, j2
+
+
+def _make_col_sweep(xi, yi, ri, irel, col_block_read, *, tile_i, tile_j):
+    """Build the 3-segment column sweep over one column block.
+
+    ``col_block_read(c0)`` returns (xj, yj, mj, rj) as (1, tile_j) for the
+    sub-tile starting at BLOCK-LOCAL lane c0.  ``irel`` ((tile_i, 1) int32)
+    holds the row tile's body indices RELATIVE to the column block's global
+    start, so overlap-tile bias differences stay exact at any N.  Returns
+    sweep(j1, j2, n_tiles, acc) -> acc applying below/overlap/above.
+    """
+    dtype = xi.dtype
+    cbias, pbias, eps = _consts(dtype)
+
+    def pair_tile(c0, acc, bias_of):
         acc_x, acc_y = acc
-        col0 = j * tile_j
-        xj = xj_ref[0, pl.ds(col0, tile_j)].reshape(1, tile_j)
-        yj = yj_ref[0, pl.ds(col0, tile_j)].reshape(1, tile_j)
-        mj = mj_ref[0, pl.ds(col0, tile_j)].reshape(1, tile_j)
-        rj = rj_ref[0, pl.ds(col0, tile_j)].reshape(1, tile_j)
-
-        dx = xj - xi
+        xj, yj, mj, rj = col_block_read(c0)
+        dx = (xj - xi) + bias_of(c0)
         dy = yj - yi
         dsqr = dx * dx + dy * dy
         mind = ri + rj
         forced = jnp.maximum(dsqr, mind * mind)
-        # 1 / (forced * |d|) in a single rsqrt; eps-floor only rescues the
-        # all-zero padding corner (see module docstring).
-        inv = lax.rsqrt(jnp.maximum(forced * forced * dsqr, _EPS))
+        inv = lax.rsqrt(forced * forced * dsqr + eps)
         scale = mj * inv
         acc_x = acc_x + jnp.sum(scale * dx, axis=1, keepdims=True)
         acc_y = acc_y + jnp.sum(scale * dy, axis=1, keepdims=True)
         return acc_x, acc_y
 
-    zeros = jnp.zeros((tile_i, 1), xi_ref.dtype)
-    acc_x, acc_y = lax.fori_loop(0, n_cols // tile_j, col_step,
-                                 (zeros, zeros))
+    below = functools.partial(
+        pair_tile, bias_of=lambda c0: jnp.asarray(-cbias, dtype))
+    above = functools.partial(
+        pair_tile, bias_of=lambda c0: jnp.asarray(cbias, dtype))
+
+    def overlap_bias(c0):
+        # Per-pair bias from block-local indices: exact at any N.
+        jrel = c0 + lax.broadcasted_iota(jnp.int32, (1, tile_j), 1)
+        return (jrel - irel).astype(dtype) * pbias
+
+    overlap = functools.partial(pair_tile, bias_of=overlap_bias)
+
+    def sweep(j1, j2, n_tiles, acc):
+        def seg(lo, hi, body, acc):
+            return lax.fori_loop(
+                lo, hi, lambda j, a: body(j * tile_j, a), acc)
+
+        acc = seg(0, j1, below, acc)
+        acc = seg(j1, j2, overlap, acc)
+        return seg(j2, n_tiles, above, acc)
+
+    return sweep
+
+
+def _force_kernel(rg_ref, cg_ref,
+                  xi_ref, yi_ref, mi_ref, ri_ref,
+                  xj_ref, yj_ref, mj_ref, rj_ref,
+                  xf_ref, yf_ref,
+                  *, tile_i: int, tile_j: int, n_cols: int, gravity: float):
+    i = pl.program_id(0)
+    row0 = i * tile_i
+    dtype = xi_ref.dtype
+
+    xi = xi_ref[0, pl.ds(row0, tile_i)].reshape(tile_i, 1)
+    yi = yi_ref[0, pl.ds(row0, tile_i)].reshape(tile_i, 1)
+    ri = ri_ref[0, pl.ds(row0, tile_i)].reshape(tile_i, 1)
+    # Row indices relative to the column block's global start.
+    r0_rel = rg_ref[0, 0] + row0 - cg_ref[0, 0]
+    irel = r0_rel + lax.broadcasted_iota(jnp.int32, (tile_i, 1), 0)
+
+    def col_read(c0):
+        return (xj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j),
+                yj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j),
+                mj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j),
+                rj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j))
+
+    sweep = _make_col_sweep(xi, yi, ri, irel, col_read,
+                            tile_i=tile_i, tile_j=tile_j)
+    n_tiles = n_cols // tile_j
+    j1, j2 = _segment_bounds(r0_rel, tile_i, tile_j, n_tiles)
+    zeros = jnp.zeros((tile_i, 1), dtype)
+    acc_x, acc_y = sweep(j1, j2, n_tiles, (zeros, zeros))
 
     # Row factor G * m_i applied once after the reduction.
     gmi = mi_ref[0, pl.ds(row0, tile_i)].reshape(tile_i, 1) * gravity
@@ -115,12 +222,14 @@ def _force_kernel(xi_ref, yi_ref, mi_ref, ri_ref,
 
 
 def pallas_block_forces(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
+                        row_g0=0, col_g0=0,
                         tile_i: int = 1024, tile_j: int = 1024,
                         interpret: bool = False):
     """Force of every body in block J on every body in block I (one-sided,
     fast mode).  Block I of size M, block J of size K; block sizes that are
     not tile multiples are padded internally with inert far-away bodies (the
-    tile size is never shrunk — see _pad_block)."""
+    tile size is never shrunk — see _pad_block).  ``row_g0``/``col_g0`` are
+    the blocks' global starting body indices (traced or static)."""
     m = xi.shape[0]
     k = xj.shape[0]
     # Keep the requested tile but never larger than the (lane-aligned) block.
@@ -137,26 +246,29 @@ def pallas_block_forces(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
         gravity=float(cfg.gravity))
 
     vec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     xf, yf = pl.pallas_call(
         kernel,
         grid=(m_pad // tile_i,),
-        in_specs=[vec] * 8,
+        in_specs=[smem, smem] + [vec] * 8,
         out_specs=(vec, vec),
         out_shape=(jax.ShapeDtypeStruct((1, m_pad), dtype),
                    jax.ShapeDtypeStruct((1, m_pad), dtype)),
         cost_estimate=pl.CostEstimate(
-            flops=15 * m_pad * k_pad,
+            flops=17 * m_pad * k_pad,
             bytes_accessed=(4 * m_pad + 4 * k_pad) * 4,
             transcendentals=m_pad * k_pad),
         interpret=interpret,
-    )(xi.reshape(1, m_pad), yi.reshape(1, m_pad),
+    )(_as_scalar_arr(row_g0), _as_scalar_arr(col_g0),
+      xi.reshape(1, m_pad), yi.reshape(1, m_pad),
       mi.reshape(1, m_pad), ri.reshape(1, m_pad),
       xj.reshape(1, k_pad), yj.reshape(1, k_pad),
       mj.reshape(1, k_pad), rj.reshape(1, k_pad))
     return xf.reshape(m_pad)[:m], yf.reshape(m_pad)[:m]
 
 
-def _force_kernel_streamed(xi_ref, yi_ref, mi_ref, ri_ref,
+def _force_kernel_streamed(rg_ref, cg_ref,
+                           xi_ref, yi_ref, mi_ref, ri_ref,
                            xj_ref, yj_ref, mj_ref, rj_ref,
                            xf_ref, yf_ref,
                            *, tile_i: int, tile_j: int, band: int,
@@ -164,40 +276,36 @@ def _force_kernel_streamed(xi_ref, yi_ref, mi_ref, ri_ref,
     """Grid-pipelined variant: grid = (row tiles, column bands); Pallas
     streams (1, band) column bands HBM->VMEM with automatic double buffering,
     so the body arrays never need to fit in VMEM (N is unbounded).  Inside
-    each band the kernel loops over tile_j-wide sub-tiles to bound the
-    (tile_i, tile_j) intermediates.
+    each band the kernel runs the same 3-segment sub-tile sweep as the
+    resident kernel (segment bounds relative to the band's global start).
 
     The output block (same row tile for every band) stays resident in VMEM
     and is the accumulator — the classic revisited-output reduction.
     """
+    i = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
+    dtype = xi_ref.dtype
 
     xi = xi_ref[:].reshape(tile_i, 1)
     yi = yi_ref[:].reshape(tile_i, 1)
     ri = ri_ref[:].reshape(tile_i, 1)
+    # Row indices relative to THIS band's global start.
+    r0_rel = (rg_ref[0, 0] + i * tile_i) - (cg_ref[0, 0] + j * band)
+    irel = r0_rel + lax.broadcasted_iota(jnp.int32, (tile_i, 1), 0)
 
-    def sub_step(s, acc):
-        acc_x, acc_y = acc
-        c0 = s * tile_j
-        xj = xj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j)
-        yj = yj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j)
-        mj = mj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j)
-        rj = rj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j)
+    def col_read(c0):
+        return (xj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j),
+                yj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j),
+                mj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j),
+                rj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j))
 
-        dx = xj - xi
-        dy = yj - yi
-        dsqr = dx * dx + dy * dy
-        mind = ri + rj
-        forced = jnp.maximum(dsqr, mind * mind)
-        inv = lax.rsqrt(jnp.maximum(forced * forced * dsqr, _EPS))
-        scale = mj * inv
-        acc_x = acc_x + jnp.sum(scale * dx, axis=1, keepdims=True)
-        acc_y = acc_y + jnp.sum(scale * dy, axis=1, keepdims=True)
-        return acc_x, acc_y
-
-    zeros = jnp.zeros((tile_i, 1), xi_ref.dtype)
-    fx, fy = lax.fori_loop(0, band // tile_j, sub_step, (zeros, zeros))
+    sweep = _make_col_sweep(xi, yi, ri, irel, col_read,
+                            tile_i=tile_i, tile_j=tile_j)
+    n_sub = band // tile_j
+    j1, j2 = _segment_bounds(r0_rel, tile_i, tile_j, n_sub)
+    zeros = jnp.zeros((tile_i, 1), dtype)
+    fx, fy = sweep(j1, j2, n_sub, (zeros, zeros))
     fx = fx.reshape(1, tile_i)
     fy = fy.reshape(1, tile_i)
 
@@ -217,6 +325,7 @@ def _force_kernel_streamed(xi_ref, yi_ref, mi_ref, ri_ref,
 
 
 def pallas_block_forces_streamed(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
+                                 row_g0=0, col_g0=0,
                                  tile_i: int = 512, tile_j: int = 1024,
                                  band: int = 65536,
                                  interpret: bool = False):
@@ -249,19 +358,23 @@ def pallas_block_forces_streamed(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
         return pl.BlockSpec((1, band), lambda i, j: (0, j),
                             memory_space=pltpu.VMEM)
 
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
     xf, yf = pl.pallas_call(
         kernel,
         grid=(m // tile_i, k // band),
-        in_specs=[row_spec(), row_spec(), row_spec(), row_spec(),
+        in_specs=[smem, smem,
+                  row_spec(), row_spec(), row_spec(), row_spec(),
                   col_spec(), col_spec(), col_spec(), col_spec()],
         out_specs=(row_spec(), row_spec()),
         out_shape=(jax.ShapeDtypeStruct((1, m), dtype),
                    jax.ShapeDtypeStruct((1, m), dtype)),
         cost_estimate=pl.CostEstimate(
-            flops=15 * m * k, bytes_accessed=(4 * m + 4 * k) * 4,
+            flops=17 * m * k, bytes_accessed=(4 * m + 4 * k) * 4,
             transcendentals=m * k),
         interpret=interpret,
-    )(xi.reshape(1, m), yi.reshape(1, m), mi.reshape(1, m), ri.reshape(1, m),
+    )(_as_scalar_arr(row_g0), _as_scalar_arr(col_g0),
+      xi.reshape(1, m), yi.reshape(1, m), mi.reshape(1, m), ri.reshape(1, m),
       xj.reshape(1, k), yj.reshape(1, k), mj.reshape(1, k), rj.reshape(1, k))
     return xf.reshape(m)[:m_orig], yf.reshape(m)[:m_orig]
 
@@ -269,6 +382,27 @@ def pallas_block_forces_streamed(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
 # Above 128K bodies the four (1, N) fp32 vectors plus the (tile_i, tile_j)
 # intermediates no longer fit in VMEM; the streamed kernel takes over.
 _VMEM_RESIDENT_LIMIT = 1 << 17
+
+
+def pallas_block_forces_auto(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
+                             row_g0=0, col_g0=0,
+                             tile_i: int = 1024, tile_j: int = 1024,
+                             interpret: bool = False):
+    """Block forces with automatic VMEM-resident vs HBM-streamed dispatch.
+
+    The sharded paths (all-gather columns = all N bodies; grid2d columns =
+    N/Pr bodies) call this so the multi-chip composition has no 128K column
+    ceiling — the streamed kernel takes over exactly as the single-chip
+    ``pallas_forces`` does.  Reference bar: the Allgatherv scheme scales with
+    N unbounded (nbody-par.c:913-917)."""
+    if max(xi.shape[0], xj.shape[0]) > _VMEM_RESIDENT_LIMIT:
+        return pallas_block_forces_streamed(
+            cfg, xi, yi, mi, ri, xj, yj, mj, rj,
+            row_g0=row_g0, col_g0=col_g0, interpret=interpret)
+    return pallas_block_forces(cfg, xi, yi, mi, ri, xj, yj, mj, rj,
+                               row_g0=row_g0, col_g0=col_g0,
+                               tile_i=tile_i, tile_j=tile_j,
+                               interpret=interpret)
 
 
 def pallas_forces(cfg, x, y, mass, radius, *, tile_i: int = 1024,

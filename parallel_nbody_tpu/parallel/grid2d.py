@@ -67,28 +67,34 @@ def body_sharding_2d(mesh: Mesh) -> NamedSharding:
 def _block_forces_masked(cfg, xi, yi, mi, ri, xj, yj, mj, rj, gid_i, gid_j):
     """One-sided force of col set J on row set I with true self-pairs
     (same global body) masked by id — the reference's per-pair math
-    (nbody-seq.c:89-106) in both modes."""
+    (nbody-seq.c:89-106) in both modes, including the coincident-pair
+    ``sign(gj - gi) * force`` kick along +x (atan2(0,0) = 0 limit; see
+    ops/forces.py module docstring)."""
     dtype = xi.dtype
     zero = jnp.zeros((), dtype)
-    same = gid_i[:, None] == gid_j[None, :]
+    delta = gid_j[None, :] - gid_i[:, None]
+    sgn = jnp.sign(delta).astype(dtype)  # 0 exactly on self-pairs
 
     dx = xj[None, :] - xi[:, None]
     dy = yj[None, :] - yi[:, None]
     dsqr = dx * dx + dy * dy
+    coin = dsqr == 0
     mind = ri[:, None] + rj[None, :]
     forced = jnp.maximum(jnp.maximum(dsqr, mind * mind), 1e-30)
+    force = mi[:, None] * mj[None, :] * cfg.gravity / forced
 
     if cfg.force_mode == "trig":
         angle = jnp.arctan2(dy, dx)
-        force = mi[:, None] * mj[None, :] * cfg.gravity / forced
-        force = jnp.where(same, zero, force)
-        return (jnp.sum(force * jnp.cos(angle), axis=1),
-                jnp.sum(force * jnp.sin(angle), axis=1))
+        # Non-coincident self-pairs cannot exist (same body => same
+        # position), so the coin/sgn select subsumes the old same-id mask.
+        fx = jnp.where(coin, force * sgn, force * jnp.cos(angle))
+        fy = jnp.where(coin, zero, force * jnp.sin(angle))
+        return jnp.sum(fx, axis=1), jnp.sum(fy, axis=1)
 
     inv_r = jnp.where(dsqr > 0, lax.rsqrt(jnp.maximum(dsqr, 1e-30)), zero)
-    scale = mi[:, None] * mj[None, :] * cfg.gravity / forced * inv_r
-    scale = jnp.where(same, zero, scale)
-    return jnp.sum(scale * dx, axis=1), jnp.sum(scale * dy, axis=1)
+    scale = force * inv_r
+    fx = scale * dx + jnp.where(coin, force * sgn, zero)
+    return jnp.sum(fx, axis=1), jnp.sum(scale * dy, axis=1)
 
 
 def _grid2d_run_local(cfg: SimConfig, steps: int,
@@ -122,13 +128,26 @@ def _grid2d_run_local(cfg: SimConfig, steps: int,
         y_col = lax.all_gather(y, ROW_AXIS, tiled=True)
 
         if cfg.kernel == "pallas":
-            # The Pallas fast kernel zeroes coincident pairs intrinsically,
-            # which covers the self-pair diagonal.
-            from ..ops.pallas_step import pallas_block_forces
-            fx, fy = pallas_block_forces(
-                cfg, x_row, y_row, m_row, r_row, x_col, y_col, m_col, r_col,
-                tile_i=cfg.tile_i, tile_j=cfg.tile_j,
-                interpret=cfg.pallas_interpret)
+            # The kernel handles self-pairs and coincident pairs via global
+            # indices, but its offsets describe CONTIGUOUS blocks — the col
+            # group is strided (one blk-sized chunk per mesh row), so call
+            # the kernel once per contiguous chunk and accumulate.  Each
+            # call auto-dispatches to the HBM-streamed kernel above the
+            # VMEM-resident limit.
+            from ..ops.pallas_step import pallas_block_forces_auto
+            fx = jnp.zeros_like(x_row)
+            fy = jnp.zeros_like(y_row)
+            for rr_c in range(pr):
+                sl = slice(rr_c * blk, (rr_c + 1) * blk)
+                dfx, dfy = pallas_block_forces_auto(
+                    cfg, x_row, y_row, m_row, r_row,
+                    x_col[sl], y_col[sl], m_col[sl], r_col[sl],
+                    row_g0=my_r * row_n,
+                    col_g0=(rr_c * pc + my_c) * blk,
+                    tile_i=cfg.tile_i, tile_j=cfg.tile_j,
+                    interpret=cfg.pallas_interpret)
+                fx = fx + dfx
+                fy = fy + dfy
         else:
             fx, fy = _block_forces_masked(
                 cfg, x_row, y_row, m_row, r_row, x_col, y_col, m_col, r_col,

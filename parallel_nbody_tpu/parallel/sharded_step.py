@@ -47,11 +47,14 @@ def _local_forces_allgather(cfg, x, y, m_blk, r_blk, m_full, r_full):
     x_full = lax.all_gather(x, BODY_AXIS, tiled=True)
     y_full = lax.all_gather(y, BODY_AXIS, tiled=True)
     if cfg.kernel == "pallas":
-        from ..ops.pallas_step import pallas_block_forces
-        return pallas_block_forces(cfg, x, y, m_blk, r_blk,
-                                   x_full, y_full, m_full, r_full,
-                                   tile_i=cfg.tile_i, tile_j=cfg.tile_j,
-                                   interpret=cfg.pallas_interpret)
+        # auto: streams the gathered column block through HBM above the
+        # VMEM-resident limit, so sharded N is unbounded (VERDICT r2 #2).
+        from ..ops.pallas_step import pallas_block_forces_auto
+        return pallas_block_forces_auto(cfg, x, y, m_blk, r_blk,
+                                        x_full, y_full, m_full, r_full,
+                                        row_g0=my * shard, col_g0=0,
+                                        tile_i=cfg.tile_i, tile_j=cfg.tile_j,
+                                        interpret=cfg.pallas_interpret)
     return forces_block_vs_full(cfg, x, y, m_blk, r_blk,
                                 x_full, y_full, m_full, r_full,
                                 my * shard)
@@ -68,19 +71,34 @@ def _local_forces_ring(cfg, x, y, m_blk, r_blk):
     letting XLA overlap communication with compute.
     """
     p = lax.axis_size(BODY_AXIS)
+    shard = x.shape[0]
+    my = lax.axis_index(BODY_AXIS)
     perm = [(i, (i - 1) % p) for i in range(p)]  # send left, receive from right
 
     def body(s, carry):
         vx, vy, vm, vr, xf, yf = carry
+        # At ring step s the visiting block is the one originally owned by
+        # device (my + s) mod P — its global offset drives self-pair masking
+        # and coincident-pair signs.
+        visit_g0 = ((my + s) % p) * shard
 
         if cfg.kernel == "pallas":
-            # The Pallas fast path zeroes self-pairs intrinsically (dsqr == 0
-            # guard), so the visiting block needs no own/remote distinction.
-            from ..ops.pallas_step import pallas_block_forces
-            dxf, dyf = pallas_block_forces(
+            # Self-pairs and coincident pairs are handled intrinsically via
+            # the global-index bias (ops/pallas_step.py), so the visiting
+            # block needs no own/remote distinction.  auto: streams visiting
+            # blocks above the VMEM-resident limit.
+            from ..ops.pallas_step import pallas_block_forces_auto
+            dxf, dyf = pallas_block_forces_auto(
                 cfg, x, y, m_blk, r_blk, vx, vy, vm, vr,
+                row_g0=my * shard, col_g0=visit_g0,
                 tile_i=cfg.tile_i, tile_j=cfg.tile_j,
                 interpret=cfg.pallas_interpret)
+        elif cfg.force_mode == "fast":
+            # The fast path masks self-pairs by global index, so s == 0
+            # (visiting block == own block) needs no special case.
+            dxf, dyf = forces_on_block(cfg, x, y, m_blk, r_blk,
+                                       vx, vy, vm, vr, same_block=False,
+                                       gi0=my * shard, gj0=visit_g0)
         else:
             same = s == 0
 
@@ -93,7 +111,8 @@ def _local_forces_ring(cfg, x, y, m_blk, r_blk):
 
             def remote_block(_):
                 return forces_on_block(cfg, x, y, m_blk, r_blk,
-                                       vx, vy, vm, vr, same_block=False)
+                                       vx, vy, vm, vr, same_block=False,
+                                       gi0=my * shard, gj0=visit_g0)
 
             dxf, dyf = lax.cond(same, own_block, remote_block, None)
 

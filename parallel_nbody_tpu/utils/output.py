@@ -59,12 +59,20 @@ def xps_csv_seq(n: int, rtime: float, gflops: float) -> str:
 
 
 def xps_csv_par(size: int, nodes: int, cpus_per_node: int, n: int,
-                rtime: float, comm_time: float, gflops: float) -> str:
-    """Parallel experiment CSV row (nbody-par.c:950-957):
-    SIZE,NODES,CPUS_PER_NODE,NBODIES,RTIME,COMMTIME,RATIO,GFLOPS."""
+                rtime: float, comm_time: float, gflops: float,
+                precise: bool = False) -> str:
+    """Parallel experiment CSV row, byte-matching the reference contract
+    (nbody-par.c:956): ``"%d,%d,%d,%d,%.3f,%.3f,%.3f,%.2f"`` for
+    SIZE,NODES,CPUS_PER_NODE,NBODIES,RTIME,COMMTIME,RATIO,GFLOPS (note: no
+    space before GFLOPS — only the SEQ row has one, nbody-seq.c:488).
+
+    ``precise=True`` (CLI ``--xps-precise``) widens COMMTIME/RATIO to 6
+    decimals: per-step collectives on fast interconnects are well under a
+    millisecond, and the comm-share analysis (reference PDF Tables 4/8)
+    needs them distinguishable from zero.  This deliberately deviates from
+    the reference byte contract, which is why it is opt-in."""
     ratio = comm_time / rtime if rtime > 0 else 0.0
-    # COMMTIME/RATIO carry 6 decimals: per-step collectives on fast
-    # interconnects are well under a millisecond, and the comm-share analysis
-    # (reference PDF Tables 4/8) needs them distinguishable from zero.
-    return "%d,%d,%d,%d,%.3f,%.6f,%.6f, %.2f" % (
-        size, nodes, cpus_per_node, n, rtime, comm_time, ratio, gflops)
+    fmt = ("%d,%d,%d,%d,%.3f,%.6f,%.6f,%.2f" if precise
+           else "%d,%d,%d,%d,%.3f,%.3f,%.3f,%.2f")
+    return fmt % (size, nodes, cpus_per_node, n, rtime, comm_time, ratio,
+                  gflops)

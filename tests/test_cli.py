@@ -172,3 +172,37 @@ def test_chunk_steps_matches_single_dispatch(arena):
     b = run_cli(["32", "0", arena, "100", "--chunk-steps=7"])
     assert b.returncode == 0, b.stderr[-2000:]
     assert a.stdout == b.stdout
+
+
+def test_chunk_steps_bad_values(arena):
+    # Advisor r2: non-positive / non-integer values must fail loudly at
+    # parse time (a negative value used to hang the run loop forever).
+    for bad in ("--chunk-steps=-3", "--chunk-steps=0", "--chunk-steps=x"):
+        r = run_cli(["8", "0", arena, "1", bad])
+        assert r.returncode == 1, bad
+        assert "Bad --chunk-steps" in r.stderr
+
+
+def test_par_csv_byte_contract(arena):
+    """VERDICT r2 #7: the par CSV row must byte-match the reference format
+    "%d,%d,%d,%d,%.3f,%.3f,%.3f,%.2f" (nbody-par.c:956 — 3 decimals on
+    COMMTIME/RATIO, NO space before GFLOPS); --xps-precise opts into the
+    6-decimal comm fields."""
+    import re
+    r = run_cli(["64", "0", arena, "5", "--run-xps", "--devices=2"])
+    row = r.stdout.strip()
+    assert re.fullmatch(
+        r"\d+,\d+,\d+,\d+,\d+\.\d{3},\d+\.\d{3},\d+\.\d{3},\d+\.\d{2}",
+        row), row
+
+    r = run_cli(["64", "0", arena, "5", "--run-xps", "--devices=2",
+                 "--xps-precise"])
+    row = r.stdout.strip()
+    assert re.fullmatch(
+        r"\d+,\d+,\d+,\d+,\d+\.\d{3},\d+\.\d{6},\d+\.\d{6},\d+\.\d{2}",
+        row), row
+
+    # The seq row keeps its (reference-mandated) space before GFLOPS
+    # (nbody-seq.c:488).
+    r = run_cli(["64", "0", arena, "5", "--run-xps", "--devices=1"])
+    assert re.fullmatch(r"\d+,\d+\.\d{3}, \d+\.\d{2}", r.stdout.strip())

@@ -68,3 +68,29 @@ def test_render_empty_space_is_black():
     # no body covers them; just assert some black exists and some color exists.
     flat = frame.reshape(-1, 3)
     assert (flat == 0).all(axis=1).any()
+
+
+def test_render_body_chunked_identical():
+    """body_chunk merges per-chunk min-indices; pixels must be identical to
+    the unchunked path for every chunk size, including non-dividing ones
+    (VERDICT r2 #3: this is what lets N>=1M frames render on-chip)."""
+    st = init_state(25, CFG)
+    full = np.asarray(render_frame(CFG, st.x, st.y, st.radius, 25))
+    for chunk in (4, 7, 25, 64):
+        chunked = np.asarray(
+            render_frame(CFG, st.x, st.y, st.radius, 25, 32, chunk))
+        np.testing.assert_array_equal(chunked, full)
+
+
+def test_render_body_chunked_overlap_z_order():
+    """Overlapping bodies in DIFFERENT chunks: smaller global index wins."""
+    import jax.numpy as jnp
+    x = jnp.array([10.0, 30.0, 50.0, 10.0])
+    y = jnp.array([10.0, 30.0, 40.0, 10.0])
+    r = jnp.array([3.0, 2.0, 2.0, 5.0])  # 0 and 3 overlap across chunks
+    full = np.asarray(render_frame(CFG, x, y, r, 4))
+    chunked = np.asarray(render_frame(CFG, x, y, r, 4, 32, 2))
+    np.testing.assert_array_equal(chunked, full)
+    tint0 = (0xFFF * 1) // 6
+    assert tuple(chunked[10, 10]) == ((tint0 & 0xF) << 4, tint0 & 0xF0,
+                                      (tint0 & 0xF00) >> 4)
