@@ -16,8 +16,14 @@ plus TPU-era extensions (all optional, order-free):
     --dtype=T         float32 | float64 (default: float64 on CPU, float32 on TPU)
     --no-clamp        allow N > 10000 (the reference clamps to MAXBODIES)
     --check-nans      enable NaN debugging + post-run state validation
-    --checkpoint=PATH save final state as .npz
-    --resume=PATH     restore state from .npz and continue
+    --checkpoint=PATH save final state; PATH ending in .npz = exact host
+                      snapshot (single-process parity path), anything else =
+                      an Orbax directory written collectively from the
+                      still-sharded state (no host gather — the sharded /
+                      multi-process path)
+    --resume=PATH     restore state and continue; an Orbax directory restores
+                      each shard directly into the run's target sharding,
+                      a .npz file restores the exact host snapshot
     --chunk-steps=K   cap steps per device dispatch (default: all steps in
                       one on-device loop — fastest; set K when the device
                       transport limits single-dispatch duration)
@@ -197,16 +203,6 @@ def main(argv=None) -> int:
         sys.stderr.write("Running N-body with %i bodies and %i steps\n"
                          % (n, steps))
 
-    if opts["resume"]:
-        state, start_step = ckpt.load_state(opts["resume"], cfg)
-        if state.n != n:
-            sys.stderr.write("Checkpoint has %d bodies, expected %d\n"
-                             % (state.n, n))
-            return 1
-    else:
-        state, start_step = init_state(n, cfg), 0
-    remaining = max(0, steps - start_step)
-
     if opts["mesh2d"]:
         n_dev = opts["mesh2d"][0] * opts["mesh2d"][1]
     else:
@@ -222,12 +218,47 @@ def main(argv=None) -> int:
         except ValueError as e:
             sys.stderr.write("%s\n" % e)
             return 1
-        # Pallas tiles need the shard size to stay tile-aligned.
-        pad_mult = n_dev * (128 if opts["pallas"] else 1)
+    # Pallas tiles need the shard size to stay tile-aligned.
+    pad_mult = n_dev * (128 if opts["pallas"] else 1)
+
+    # --resume: a directory is an Orbax (sharded) checkpoint, a file the
+    # exact-parity .npz.  An Orbax resume on a 1-D mesh whose padded length
+    # matches restores each shard straight into the target sharding — no
+    # process ever holds the full state (VERDICT r2 #6).
+    start_step = 0
+    pre_sharded = False
+    if opts["resume"] and os.path.isdir(opts["resume"]):
+        target = None
+        if multi and not opts["mesh2d"]:
+            from .parallel.mesh import body_sharding
+            if ckpt.orbax_saved_length(opts["resume"]) == \
+                    n + ((-n) % pad_mult):
+                target = body_sharding(mesh)
+        state, start_step, n_ck = ckpt.load_state_orbax(
+            opts["resume"], cfg, sharding=target)
+        if n_ck != n:
+            sys.stderr.write("Checkpoint has %d bodies, expected %d\n"
+                             % (n_ck, n))
+            return 1
+        if target is not None:
+            n_real, pre_sharded = n_ck, True
+        else:
+            state = unpad_state(state, n_ck)
+    elif opts["resume"]:
+        state, start_step = ckpt.load_state(opts["resume"], cfg)
+        if state.n != n:
+            sys.stderr.write("Checkpoint has %d bodies, expected %d\n"
+                             % (state.n, n))
+            return 1
+    else:
+        state = init_state(n, cfg)
+    remaining = max(0, steps - start_step)
+
+    if multi and not pre_sharded:
         state, n_real = pad_state(state, pad_mult)
         state = (shard_state_2d(state, mesh) if opts["mesh2d"]
                  else shard_state(state, mesh))
-    else:
+    elif not multi:
         n_real = n
 
     # AOT-compiled executables per chunk size (compile happens once, outside
@@ -324,6 +355,16 @@ def main(argv=None) -> int:
     flops = nr_flops(n, remaining)
     gflops = flops / 1e9 / rtime if rtime > 0 else float("nan")
 
+    # --checkpoint to a directory = Orbax, written from the STILL-SHARDED
+    # state before any gather (each process saves only its shards; in a
+    # multi-process run the save is collective, so every rank calls it).
+    # A .npz path keeps the exact-parity host snapshot written after the
+    # gather below.
+    ckpt_orbax = opts["checkpoint"] and not opts["checkpoint"].endswith(
+        ".npz")
+    if ckpt_orbax:
+        ckpt.save_state_orbax(opts["checkpoint"], state, steps, n_real)
+
     if multi:
         if jax.process_count() > 1:
             # Globally-sharded result: re-assemble the full state on every
@@ -337,7 +378,7 @@ def main(argv=None) -> int:
             state = jax.device_get(state)
         state = unpad_state(state, n_real)
 
-    if opts["checkpoint"] and rank0:
+    if opts["checkpoint"] and not ckpt_orbax and rank0:
         ckpt.save_state(opts["checkpoint"], state, steps)
 
     if opts["check_nans"]:

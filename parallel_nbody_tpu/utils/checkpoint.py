@@ -37,35 +37,69 @@ def load_state(path: str, cfg: SimConfig) -> tuple[State, int]:
 # parallel (and across hosts in a multi-process run) without gathering the
 # full state to one host.
 
-def save_state_orbax(path: str, state: State, step: int) -> None:
+def save_state_orbax(path: str, state: State, step: int,
+                     n_real: int | None = None) -> None:
     """Sharding-aware checkpoint: works directly on globally-sharded arrays
-    (no host gather).  ``path`` is a directory."""
+    (no host gather — each process writes only its addressable shards, the
+    contrast to the reference's rank-0-assembles-everything final state,
+    nbody-par.c:913-944).  ``path`` is a directory.  ``n_real`` records the
+    unpadded body count when ``state`` carries sharding padding.
+
+    In a multi-process run this is a COLLECTIVE: every process must call it.
+    """
     import os
 
     import orbax.checkpoint as ocp
 
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(os.path.abspath(path),
-                   {"state": state._asdict(), "step": step})
+                   {"state": state._asdict(), "step": step,
+                    "n_real": int(state.n if n_real is None else n_real)})
 
 
-def load_state_orbax(path: str, cfg: SimConfig,
-                     sharding=None) -> tuple[State, int]:
-    """Restore an Orbax checkpoint; optionally restore arrays directly into
-    a target ``NamedSharding`` (resharding on read)."""
+def orbax_saved_length(path: str) -> int:
+    """Body-axis length of the arrays stored in an Orbax checkpoint
+    (padding included), read from metadata without restoring anything."""
     import os
 
-    import jax
-    import jax.numpy as jnp
     import orbax.checkpoint as ocp
 
     with ocp.PyTreeCheckpointer() as ckptr:
-        tree = ckptr.restore(os.path.abspath(path))
+        meta = ckptr.metadata(os.path.abspath(path))
+    return int(meta.item_metadata.tree["state"]["x"].shape[0])
+
+
+def load_state_orbax(path: str, cfg: SimConfig,
+                     sharding=None) -> tuple[State, int, int]:
+    """Restore an Orbax checkpoint -> (state, step, n_real).
+
+    With ``sharding`` (a ``NamedSharding``), every array is restored
+    DIRECTLY into that sharding — each process reads only the shards it
+    addresses, so resuming a sharded run never materializes the full state
+    on one host (resharding across different mesh sizes happens on read).
+    Without it, plain host arrays are returned.
+    """
+    import os
+
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
     dtype = jnp.dtype(cfg.dtype)
-
-    def place(a):
-        a = jnp.asarray(a, dtype)
-        return jax.device_put(a, sharding) if sharding is not None else a
-
-    state = State(*(place(tree["state"][f]) for f in _FIELDS))
-    return state, int(tree["step"])
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if sharding is None:
+            tree = ckptr.restore(os.path.abspath(path))
+            state = State(*(jnp.asarray(tree["state"][f], dtype)
+                            for f in _FIELDS))
+        else:
+            restore_args = {
+                "state": {f: ocp.ArrayRestoreArgs(sharding=sharding,
+                                                  dtype=dtype)
+                          for f in _FIELDS},
+                "step": ocp.RestoreArgs(),
+                "n_real": ocp.RestoreArgs(),
+            }
+            tree = ckptr.restore(os.path.abspath(path),
+                                 restore_args=restore_args)
+            state = State(*(tree["state"][f] for f in _FIELDS))
+    n_real = int(tree.get("n_real", state.n))
+    return state, int(tree["step"]), n_real

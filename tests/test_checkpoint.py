@@ -52,14 +52,16 @@ def test_orbax_roundtrip_sharded(tmp_path):
     path = str(tmp_path / "ckpt")
     save_state_orbax(path, sharded, 123)
 
-    restored, step = load_state_orbax(path, cfg)
+    restored, step, n_real = load_state_orbax(path, cfg)
     assert step == 123
+    assert n_real == padded.x.shape[0]  # no n_real passed: padded length
     for a, b in zip(restored, sharded):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     # Restore directly into a 4-way sharding (resharding on read).
     mesh4 = make_mesh(4)
-    resharded, _ = load_state_orbax(path, cfg, sharding=body_sharding(mesh4))
+    resharded, _, _ = load_state_orbax(path, cfg,
+                                       sharding=body_sharding(mesh4))
     assert resharded.x.sharding.mesh.size == 4
     np.testing.assert_array_equal(np.asarray(resharded.x),
                                   np.asarray(sharded.x))

@@ -120,6 +120,33 @@ def test_checkpoint_resume_across_shard_counts(arena, tmp_path):
     assert resumed.stdout == full.stdout
 
 
+def test_checkpoint_orbax_sharded_roundtrip(arena, tmp_path):
+    """--checkpoint to a directory = Orbax written from the still-sharded
+    state (no host gather); --resume restores straight into the run's
+    sharding and stays bit-exact (VERDICT r2 #6)."""
+    ck = str(tmp_path / "ckpt_dir")
+    full = run_cli(["16", "0", arena, "200", "--devices=4"])
+    first = run_cli(["16", "0", arena, "100", "--devices=4",
+                     f"--checkpoint={ck}"])
+    assert first.returncode == 0, first.stderr[-2000:]
+    assert os.path.isdir(ck)
+    resumed = run_cli(["16", "0", arena, "200", "--devices=4",
+                       f"--resume={ck}"])
+    assert resumed.stdout == full.stdout
+    assert resumed.stdout != first.stdout
+
+
+def test_checkpoint_orbax_resume_across_shard_counts(arena, tmp_path):
+    # Orbax restore reshards on read: checkpoint from a 4-way run, resume
+    # on 2 shards, must match a straight single-device run.
+    ck = str(tmp_path / "ckpt_dir")
+    full = run_cli(["16", "0", arena, "200", "--devices=1"])
+    run_cli(["16", "0", arena, "100", "--devices=4", f"--checkpoint={ck}"])
+    resumed = run_cli(["16", "0", arena, "200", "--devices=2",
+                       f"--resume={ck}"])
+    assert resumed.stdout == full.stdout
+
+
 def test_frame_rendering_with_secsup(arena, tmp_path):
     from parallel_nbody_tpu.utils import ppm
     import numpy as np
