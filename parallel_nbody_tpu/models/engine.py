@@ -24,11 +24,25 @@ from ..state import State
 def step(cfg: SimConfig, state: State) -> State:
     """One simulation step (force -> velocity -> position)."""
     if cfg.kernel == "pallas":
-        from ..ops.pallas_step import pallas_forces
-        xf, yf = pallas_forces(cfg, state.x, state.y, state.mass,
-                               state.radius, tile_i=cfg.tile_i,
-                               tile_j=cfg.tile_j,
-                               interpret=cfg.pallas_interpret)
+        from ..ops.pallas_step import any_coincident, pallas_forces
+
+        # Coincident-pair dispatch: the dx-bias machinery that reproduces
+        # the reference's atan2(0,0) kick (nbody-seq.c:91-106) costs ~2 VPU
+        # ops in the O(N^2) inner loop (~3% of step time, measured).  An
+        # exact O(N log N) duplicate-position test selects the biased kernel
+        # only on steps that actually contain coincident distinct bodies —
+        # the first step(s) of a glibc integer-pixel init — so every other
+        # step runs at full speed with identical results.
+        def forces(biased):
+            def f(s):
+                return pallas_forces(cfg, s.x, s.y, s.mass, s.radius,
+                                     tile_i=cfg.tile_i, tile_j=cfg.tile_j,
+                                     interpret=cfg.pallas_interpret,
+                                     biased=biased)
+            return f
+
+        xf, yf = lax.cond(any_coincident(state.x, state.y, state.mass),
+                          forces(True), forces(False), state)
     else:
         xf, yf = compute_forces_dense(cfg, state.x, state.y, state.mass,
                                       state.radius)

@@ -136,7 +136,8 @@ def _segment_bounds(r0_rel, tile_i: int, tile_j: int, n_tiles):
     return j1, j2
 
 
-def _make_col_sweep(xi, yi, ri, irel, col_block_read, *, tile_i, tile_j):
+def _make_col_sweep(xi, yi, ri, irel, col_block_read, *, tile_i, tile_j,
+                    biased: bool = True):
     """Build the 3-segment column sweep over one column block.
 
     ``col_block_read(c0)`` returns (xj, yj, mj, rj) as (1, tile_j) for the
@@ -144,6 +145,11 @@ def _make_col_sweep(xi, yi, ri, irel, col_block_read, *, tile_i, tile_j):
     holds the row tile's body indices RELATIVE to the column block's global
     start, so overlap-tile bias differences stay exact at any N.  Returns
     sweep(j1, j2, n_tiles, acc) -> acc applying below/overlap/above.
+
+    ``biased=False`` drops the coincident-pair dx bias entirely (the round-2
+    inner loop, ~2 VPU ops/pair cheaper): ONLY correct when the caller has
+    proven no two distinct massive bodies coincide (see ``any_coincident``
+    and the runtime dispatch in models/engine.step).
     """
     dtype = xi.dtype
     cbias, pbias, eps = _consts(dtype)
@@ -151,7 +157,7 @@ def _make_col_sweep(xi, yi, ri, irel, col_block_read, *, tile_i, tile_j):
     def pair_tile(c0, acc, bias_of):
         acc_x, acc_y = acc
         xj, yj, mj, rj = col_block_read(c0)
-        dx = (xj - xi) + bias_of(c0)
+        dx = (xj - xi) if bias_of is None else (xj - xi) + bias_of(c0)
         dy = yj - yi
         dsqr = dx * dx + dy * dy
         mind = ri + rj
@@ -173,24 +179,28 @@ def _make_col_sweep(xi, yi, ri, irel, col_block_read, *, tile_i, tile_j):
         return (jrel - irel).astype(dtype) * pbias
 
     overlap = functools.partial(pair_tile, bias_of=overlap_bias)
+    plain = functools.partial(pair_tile, bias_of=None)
+
+    def seg(lo, hi, body, acc):
+        return lax.fori_loop(lo, hi, lambda j, a: body(j * tile_j, a), acc)
 
     def sweep(j1, j2, n_tiles, acc):
-        def seg(lo, hi, body, acc):
-            return lax.fori_loop(
-                lo, hi, lambda j, a: body(j * tile_j, a), acc)
-
         acc = seg(0, j1, below, acc)
         acc = seg(j1, j2, overlap, acc)
         return seg(j2, n_tiles, above, acc)
 
-    return sweep
+    def sweep_plain(j1, j2, n_tiles, acc):
+        return seg(0, n_tiles, plain, acc)
+
+    return sweep if biased else sweep_plain
 
 
 def _force_kernel(rg_ref, cg_ref,
                   xi_ref, yi_ref, mi_ref, ri_ref,
                   xj_ref, yj_ref, mj_ref, rj_ref,
                   xf_ref, yf_ref,
-                  *, tile_i: int, tile_j: int, n_cols: int, gravity: float):
+                  *, tile_i: int, tile_j: int, n_cols: int, gravity: float,
+                  biased: bool = True):
     i = pl.program_id(0)
     row0 = i * tile_i
     dtype = xi_ref.dtype
@@ -209,7 +219,7 @@ def _force_kernel(rg_ref, cg_ref,
                 rj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j))
 
     sweep = _make_col_sweep(xi, yi, ri, irel, col_read,
-                            tile_i=tile_i, tile_j=tile_j)
+                            tile_i=tile_i, tile_j=tile_j, biased=biased)
     n_tiles = n_cols // tile_j
     j1, j2 = _segment_bounds(r0_rel, tile_i, tile_j, n_tiles)
     zeros = jnp.zeros((tile_i, 1), dtype)
@@ -224,7 +234,7 @@ def _force_kernel(rg_ref, cg_ref,
 def pallas_block_forces(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
                         row_g0=0, col_g0=0,
                         tile_i: int = 1024, tile_j: int = 1024,
-                        interpret: bool = False):
+                        interpret: bool = False, biased: bool = True):
     """Force of every body in block J on every body in block I (one-sided,
     fast mode).  Block I of size M, block J of size K; block sizes that are
     not tile multiples are padded internally with inert far-away bodies (the
@@ -243,7 +253,7 @@ def pallas_block_forces(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
 
     kernel = functools.partial(
         _force_kernel, tile_i=tile_i, tile_j=tile_j, n_cols=k_pad,
-        gravity=float(cfg.gravity))
+        gravity=float(cfg.gravity), biased=biased)
 
     vec = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -272,7 +282,7 @@ def _force_kernel_streamed(rg_ref, cg_ref,
                            xj_ref, yj_ref, mj_ref, rj_ref,
                            xf_ref, yf_ref,
                            *, tile_i: int, tile_j: int, band: int,
-                           gravity: float):
+                           gravity: float, biased: bool = True):
     """Grid-pipelined variant: grid = (row tiles, column bands); Pallas
     streams (1, band) column bands HBM->VMEM with automatic double buffering,
     so the body arrays never need to fit in VMEM (N is unbounded).  Inside
@@ -301,7 +311,7 @@ def _force_kernel_streamed(rg_ref, cg_ref,
                 rj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j))
 
     sweep = _make_col_sweep(xi, yi, ri, irel, col_read,
-                            tile_i=tile_i, tile_j=tile_j)
+                            tile_i=tile_i, tile_j=tile_j, biased=biased)
     n_sub = band // tile_j
     j1, j2 = _segment_bounds(r0_rel, tile_i, tile_j, n_sub)
     zeros = jnp.zeros((tile_i, 1), dtype)
@@ -328,7 +338,8 @@ def pallas_block_forces_streamed(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
                                  row_g0=0, col_g0=0,
                                  tile_i: int = 512, tile_j: int = 1024,
                                  band: int = 65536,
-                                 interpret: bool = False):
+                                 interpret: bool = False,
+                                 biased: bool = True):
     """HBM-streaming block forces for N beyond the 128K VMEM-resident limit.
 
     Awkward sizes are padded to tile/band multiples with inert bodies rather
@@ -348,7 +359,7 @@ def pallas_block_forces_streamed(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
 
     kernel = functools.partial(
         _force_kernel_streamed, tile_i=tile_i, tile_j=tile_j, band=band,
-        gravity=float(cfg.gravity))
+        gravity=float(cfg.gravity), biased=biased)
 
     def row_spec():
         return pl.BlockSpec((1, tile_i), lambda i, j: (0, i),
@@ -406,7 +417,8 @@ def pallas_block_forces_auto(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
 
 
 def pallas_forces(cfg, x, y, mass, radius, *, tile_i: int = 1024,
-                  tile_j: int = 1024, interpret: bool = False):
+                  tile_j: int = 1024, interpret: bool = False,
+                  biased: bool = True):
     """Total pairwise forces (square case) via the Pallas kernel.
 
     Dispatches to the VMEM-resident kernel for small/medium N and the
@@ -416,7 +428,27 @@ def pallas_forces(cfg, x, y, mass, radius, *, tile_i: int = 1024,
         # The streamed kernel has its own tuned tile defaults (the square
         # kernel's tiles are sized for VMEM-resident inputs).
         return pallas_block_forces_streamed(
-            cfg, x, y, mass, radius, x, y, mass, radius, interpret=interpret)
+            cfg, x, y, mass, radius, x, y, mass, radius, interpret=interpret,
+            biased=biased)
     return pallas_block_forces(cfg, x, y, mass, radius, x, y, mass, radius,
                                tile_i=tile_i, tile_j=tile_j,
-                               interpret=interpret)
+                               interpret=interpret, biased=biased)
+
+
+def any_coincident(x, y, mass):
+    """True iff two DISTINCT massive bodies share a position exactly.
+
+    The cheap (O(N log N), vs the O(N^2) force kernel) runtime test behind
+    the biased/unbiased kernel dispatch in models/engine.step: coincident
+    pairs need the reference's atan2(0,0) kick (nbody-seq.c:91-106), which
+    the biased kernel prices at ~2 VPU ops/pair — steps without such pairs
+    (in practice all but the first few of a glibc integer-pixel init) take
+    the cheaper unbiased kernel instead.
+
+    Exact, no false negatives: a 3-key lexicographic sort puts equal
+    positions adjacent and groups them by mass, so zero-mass padding (which
+    all sits at the same far coordinate) never splits or fakes a real pair.
+    """
+    xs, ys, ms = lax.sort((x, y, mass), num_keys=3)
+    dup = (xs[1:] == xs[:-1]) & (ys[1:] == ys[:-1]) & (ms[:-1] > 0)
+    return jnp.any(dup)

@@ -171,6 +171,49 @@ def test_sharded_trig_byte_invariance_with_cross_shard_coincidence(
     assert format_state(out) == seq
 
 
+def test_any_coincident_detector():
+    """The O(N log N) duplicate-position test behind the engine's
+    biased/unbiased kernel dispatch: exact on real pairs, blind to padding
+    (which all sits at the same far coordinate with zero mass)."""
+    from parallel_nbody_tpu.ops.pallas_step import any_coincident
+
+    st = _coincident_state()
+    assert bool(any_coincident(st.x, st.y, st.mass))
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.uniform(0, 1000, 64))
+    y = jnp.asarray(rng.uniform(0, 700, 64))
+    m = jnp.asarray(rng.uniform(1, 10, 64))
+    assert not bool(any_coincident(x, y, m))
+
+    # Zero-mass padding (pad_state): mutually coincident but inert.
+    clean = State(x, y, x * 0, y * 0, x * 0, y * 0, m, m)
+    padded, _ = pad_state(clean, 48)
+    assert not bool(any_coincident(padded.x, padded.y, padded.mass))
+    # ... and padding must not mask a real coincident pair.
+    dirty, _ = pad_state(_coincident_state(), 48)
+    assert bool(any_coincident(dirty.x, dirty.y, dirty.mass))
+
+
+def test_pallas_engine_dispatch_handles_coincident_state(oracle_step):
+    """models/engine.step routes coincident steps to the biased kernel at
+    runtime (lax.cond): a full Pallas engine run over the coincident state
+    must match the trig fp64 oracle, and the post-step state (now
+    coincidence-free) must keep evolving correctly on the unbiased kernel."""
+    pallas64 = SimConfig(force_mode="fast", dtype="float64", kernel="pallas",
+                         pallas_interpret=True)
+    out = run(pallas64, _coincident_state(), 1)
+    _assert_forces_close(out, oracle_step, rtol=1e-9)
+
+    # Multi-step: step 1 has coincident pairs (biased kernel), later steps
+    # do not (unbiased kernel) — end state must track the dense fast oracle.
+    oracle5 = run(FAST64, _coincident_state(), 5)
+    out5 = run(pallas64, _coincident_state(), 5)
+    _assert_forces_close(out5, oracle5, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(out5.x), np.asarray(oracle5.x),
+                               rtol=1e-12)
+
+
 def test_glibc_init_n4096_has_coincident_pairs_and_fast_agrees():
     """The real N=4096 glibc init contains coincident pairs (judge counted
     15); fast mode must agree with trig on that exact state."""
