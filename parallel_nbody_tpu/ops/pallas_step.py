@@ -44,6 +44,11 @@ bias ~4% — benchmarks/bias_variants_probe.py):
 
 The segment bounds are traced integer tile indices; the three fori_loops
 have dynamic trip counts, so only real overlap tiles pay the per-pair cost.
+On top of that, models/engine.step gates the whole bias machinery at
+RUNTIME: an exact O(N log N) duplicate-position test (``any_coincident``)
+selects ``biased=False`` — the round-2 inner loop, ~2 VPU ops/pair
+cheaper — for every step with no coincident distinct bodies (measured:
+1.0285e11 vs 1.005e11 pairs/s at N=64K).
 The eps in ``rsqrt(forced^2*dsqr + eps)`` (1e-36, fused into the multiply
 chain) only de-NaNs two measure-zero corners: all-zero padding products and
 a real pair whose dx happens to equal the bias exactly (contribution
@@ -398,7 +403,7 @@ _VMEM_RESIDENT_LIMIT = 1 << 17
 def pallas_block_forces_auto(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
                              row_g0=0, col_g0=0,
                              tile_i: int = 1024, tile_j: int = 1024,
-                             interpret: bool = False):
+                             interpret: bool = False, biased: bool = True):
     """Block forces with automatic VMEM-resident vs HBM-streamed dispatch.
 
     The sharded paths (all-gather columns = all N bodies; grid2d columns =
@@ -409,11 +414,11 @@ def pallas_block_forces_auto(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
     if max(xi.shape[0], xj.shape[0]) > _VMEM_RESIDENT_LIMIT:
         return pallas_block_forces_streamed(
             cfg, xi, yi, mi, ri, xj, yj, mj, rj,
-            row_g0=row_g0, col_g0=col_g0, interpret=interpret)
+            row_g0=row_g0, col_g0=col_g0, interpret=interpret, biased=biased)
     return pallas_block_forces(cfg, xi, yi, mi, ri, xj, yj, mj, rj,
                                row_g0=row_g0, col_g0=col_g0,
                                tile_i=tile_i, tile_j=tile_j,
-                               interpret=interpret)
+                               interpret=interpret, biased=biased)
 
 
 def pallas_forces(cfg, x, y, mass, radius, *, tile_i: int = 1024,

@@ -49,12 +49,26 @@ def _local_forces_allgather(cfg, x, y, m_blk, r_blk, m_full, r_full):
     if cfg.kernel == "pallas":
         # auto: streams the gathered column block through HBM above the
         # VMEM-resident limit, so sharded N is unbounded (VERDICT r2 #2).
-        from ..ops.pallas_step import pallas_block_forces_auto
-        return pallas_block_forces_auto(cfg, x, y, m_blk, r_blk,
-                                        x_full, y_full, m_full, r_full,
-                                        row_g0=my * shard, col_g0=0,
-                                        tile_i=cfg.tile_i, tile_j=cfg.tile_j,
-                                        interpret=cfg.pallas_interpret)
+        # The gathered positions also make the global coincident-pair test
+        # cheap (O(N log N) vs the O(N^2/P) kernel), so this path gets the
+        # same biased/unbiased runtime dispatch as the single-chip engine
+        # (every shard computes the identical flag from identical gathered
+        # data — no extra collective).  The ring/grid2d paths never hold
+        # global positions and stay always-biased (~3% slower, same
+        # results).
+        from ..ops.pallas_step import any_coincident, pallas_block_forces_auto
+
+        def forces(biased):
+            def f(_):
+                return pallas_block_forces_auto(
+                    cfg, x, y, m_blk, r_blk, x_full, y_full, m_full, r_full,
+                    row_g0=my * shard, col_g0=0,
+                    tile_i=cfg.tile_i, tile_j=cfg.tile_j,
+                    interpret=cfg.pallas_interpret, biased=biased)
+            return f
+
+        return lax.cond(any_coincident(x_full, y_full, m_full),
+                        forces(True), forces(False), None)
     return forces_block_vs_full(cfg, x, y, m_blk, r_blk,
                                 x_full, y_full, m_full, r_full,
                                 my * shard)
