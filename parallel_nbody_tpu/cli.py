@@ -227,28 +227,31 @@ def main(argv=None) -> int:
     # process ever holds the full state (VERDICT r2 #6).
     start_step = 0
     pre_sharded = False
-    if opts["resume"] and os.path.isdir(opts["resume"]):
-        target = None
-        if multi and not opts["mesh2d"]:
-            from .parallel.mesh import body_sharding
-            if ckpt.orbax_saved_length(opts["resume"]) == \
-                    n + ((-n) % pad_mult):
-                target = body_sharding(mesh)
-        state, start_step, n_ck = ckpt.load_state_orbax(
-            opts["resume"], cfg, sharding=target)
+    if opts["resume"]:
+        try:
+            if os.path.isdir(opts["resume"]):
+                target = None
+                if multi and not opts["mesh2d"]:
+                    from .parallel.mesh import body_sharding
+                    if ckpt.orbax_saved_length(opts["resume"]) == \
+                            n + ((-n) % pad_mult):
+                        target = body_sharding(mesh)
+                state, start_step, n_ck = ckpt.load_state_orbax(
+                    opts["resume"], cfg, sharding=target)
+                if target is not None:
+                    n_real, pre_sharded = n_ck, True
+                else:
+                    state = unpad_state(state, n_ck)
+            else:
+                state, start_step = ckpt.load_state(opts["resume"], cfg)
+                n_ck = state.n
+        except (OSError, ValueError, KeyError) as e:
+            sys.stderr.write("Cannot resume from %s: %s\n"
+                             % (opts["resume"], e))
+            return 1
         if n_ck != n:
             sys.stderr.write("Checkpoint has %d bodies, expected %d\n"
                              % (n_ck, n))
-            return 1
-        if target is not None:
-            n_real, pre_sharded = n_ck, True
-        else:
-            state = unpad_state(state, n_ck)
-    elif opts["resume"]:
-        state, start_step = ckpt.load_state(opts["resume"], cfg)
-        if state.n != n:
-            sys.stderr.write("Checkpoint has %d bodies, expected %d\n"
-                             % (state.n, n))
             return 1
     else:
         state = init_state(n, cfg)

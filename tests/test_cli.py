@@ -147,6 +147,13 @@ def test_checkpoint_orbax_resume_across_shard_counts(arena, tmp_path):
     assert resumed.stdout == full.stdout
 
 
+def test_resume_missing_path_fails_loudly(arena):
+    r = run_cli(["16", "0", arena, "10", "--resume=/nonexistent/ck.npz"])
+    assert r.returncode == 1
+    assert "Cannot resume" in r.stderr
+    assert "Traceback" not in r.stderr
+
+
 def test_frame_rendering_with_secsup(arena, tmp_path):
     from parallel_nbody_tpu.utils import ppm
     import numpy as np
