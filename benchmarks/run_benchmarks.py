@@ -40,14 +40,22 @@ def time_run(cfg, state, steps, chunk=None):
     split the loop (each chunk is still one fully-on-device fori_loop)."""
     chunk = chunk or steps
     out = run(cfg, state, chunk)
+    if steps % chunk:
+        # The loop below ends with a partial chunk — a DIFFERENT jitted
+        # program; compile it here or its (minutes-scale at 1M+) compile
+        # lands inside the timed region.
+        _ = run(cfg, state, steps % chunk)
     _ = np.asarray(out.x)
     t0 = time.time()
     done = 0
     while done < steps:
         k = min(chunk, steps - done)
         out = run(cfg, out, k)
-        _ = np.asarray(out.x)
         done += k
+    # One completion fence at the end: chunked dispatches queue back-to-back
+    # on the device (each stays under the transport's per-dispatch duration
+    # limit) without paying a host readback round-trip per chunk.
+    _ = np.asarray(out.x)
     return time.time() - t0
 
 
@@ -91,6 +99,7 @@ def main():
             # but never more than ~15 s of device time in one dispatch.
             k = max(3, min(200, int(2e11 // (n * n // 2))))
             chunk = max(1, min(k, int(3e12 // (n * n))))
+            k = -(-k // chunk) * chunk  # whole chunks: one program, no tail
             rtime = time_run(cfg, st, k, chunk=chunk)
             tpu_grid[n] = {
                 "steps": k,
