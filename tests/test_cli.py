@@ -147,6 +147,30 @@ def test_checkpoint_orbax_resume_across_shard_counts(arena, tmp_path):
     assert resumed.stdout == full.stdout
 
 
+def test_checkpoint_orbax_padding_mismatch_falls_back(arena, tmp_path):
+    # N=20 on 4 shards pads to 20; resuming on 8 shards needs 24 — the
+    # padded lengths differ, so the resume takes the host-restore + re-pad
+    # fallback instead of the direct sharded restore.  Results must still
+    # match an uninterrupted single-device run byte-for-byte.
+    ck = str(tmp_path / "ckpt_dir")
+    full = run_cli(["20", "0", arena, "160", "--devices=1"])
+    run_cli(["20", "0", arena, "80", "--devices=4", f"--checkpoint={ck}"])
+    resumed = run_cli(["20", "0", arena, "160", "--devices=8",
+                       f"--resume={ck}"])
+    assert resumed.stdout == full.stdout
+
+
+def test_checkpoint_orbax_mesh2d_resume(arena, tmp_path):
+    # The 2-D decomposition restores through the host fallback (its state
+    # layout is produced by shard_state_2d, not the 1-D body sharding).
+    ck = str(tmp_path / "ckpt_dir")
+    full = run_cli(["16", "0", arena, "160", "--devices=1"])
+    run_cli(["16", "0", arena, "80", "--mesh2d=2x4", f"--checkpoint={ck}"])
+    resumed = run_cli(["16", "0", arena, "160", "--mesh2d=2x2",
+                       f"--resume={ck}"])
+    assert resumed.stdout == full.stdout
+
+
 def test_resume_missing_path_fails_loudly(arena):
     r = run_cli(["16", "0", arena, "10", "--resume=/nonexistent/ck.npz"])
     assert r.returncode == 1
