@@ -28,7 +28,8 @@ import numpy as np
 from parallel_nbody_tpu.config import SimConfig
 from parallel_nbody_tpu.ops.integrate import (compute_positions,
                                               compute_velocities)
-from parallel_nbody_tpu.ops.pallas_step import pallas_block_forces_streamed
+from parallel_nbody_tpu.ops.pallas_step import (any_coincident,
+                                                pallas_block_forces_streamed)
 from parallel_nbody_tpu.ops.render import (_NO_HIT, min_hit_index_rows,
                                            tint_rgb)
 from parallel_nbody_tpu.state import random_state
@@ -46,13 +47,22 @@ def main() -> int:
     jax.device_get(st.x[:1])
     t_init = time.time() - t0
 
+    # Positions are fixed for the whole force pass, so the exact
+    # coincident-pair test (engine.step's per-step dispatch) runs ONCE here
+    # and selects the kernel statically for every row chunk.
+    biased = bool(any_coincident(st.x, st.y, st.mass))
+
     @jax.jit
     def force_rows(x, y, m, r, r0):
         xi = jax.lax.dynamic_slice_in_dim(x, r0, row_chunk)
         yi = jax.lax.dynamic_slice_in_dim(y, r0, row_chunk)
         mi = jax.lax.dynamic_slice_in_dim(m, r0, row_chunk)
         ri = jax.lax.dynamic_slice_in_dim(r, r0, row_chunk)
-        return pallas_block_forces_streamed(cfg, xi, yi, mi, ri, x, y, m, r)
+        # row_g0 keeps the biased kernel's overlap segment (self-pair and
+        # coincident handling) aligned with the rows' true global indices.
+        return pallas_block_forces_streamed(cfg, xi, yi, mi, ri, x, y, m, r,
+                                            row_g0=r0, col_g0=0,
+                                            biased=biased)
 
     @jax.jit
     def integrate(x, y, xv, yv, xf, yf, m):

@@ -226,3 +226,38 @@ def test_sharded_paths_stream_above_vmem_limit(monkeypatch, path):
     ref = run(cfg.replace(kernel="xla"), init_state(n, cfg), steps)
     _assert_close(out.x, ref.x, rtol=1e-4, atol=1e-3)
     _assert_close(out.xv, ref.xv, rtol=1e-3, atol=1e-3)
+
+
+def test_streamed_row_chunks_with_row_g0_match_square():
+    """The benchmarks/huge_n.py access pattern: row-chunked calls over a
+    shared column set, with TRACED row_g0 offsets and the biased kernel.
+    A wrong/omitted row_g0 misplaces the overlap segment and hands every
+    body a spurious self-kick — this pins chunked == square, with a
+    coincident pair split across row chunks."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    n, row_chunk = 256, 64
+    st = random_state(n, CFG, jax.random.PRNGKey(1))
+    # A coincident pair crossing the chunk-0/chunk-2 boundary.
+    x = st.x.at[130].set(st.x[3])
+    y = st.y.at[130].set(st.y[3])
+
+    want_x, want_y = pallas_block_forces_streamed(
+        CFG, x, y, st.mass, st.radius, x, y, st.mass, st.radius,
+        interpret=True, biased=True)
+
+    @jax.jit
+    def rows(r0):
+        xi = lax.dynamic_slice_in_dim(x, r0, row_chunk)
+        yi = lax.dynamic_slice_in_dim(y, r0, row_chunk)
+        mi = lax.dynamic_slice_in_dim(st.mass, r0, row_chunk)
+        ri = lax.dynamic_slice_in_dim(st.radius, r0, row_chunk)
+        return pallas_block_forces_streamed(
+            CFG, xi, yi, mi, ri, x, y, st.mass, st.radius,
+            row_g0=r0, col_g0=0, interpret=True, biased=True)
+
+    got_x = jnp.concatenate([rows(c)[0] for c in range(0, n, row_chunk)])
+    got_y = jnp.concatenate([rows(c)[1] for c in range(0, n, row_chunk)])
+    np.testing.assert_array_equal(np.asarray(got_x), np.asarray(want_x))
+    np.testing.assert_array_equal(np.asarray(got_y), np.asarray(want_y))
