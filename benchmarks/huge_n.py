@@ -69,8 +69,8 @@ def main() -> int:
         xv, yv = compute_velocities(cfg, xv, yv, xf, yf, m)
         return compute_positions(cfg, x, y, xv, yv)
 
-    n_chunks = -(-n // row_chunk)
     assert n % row_chunk == 0, "row_chunk must divide N for this demo"
+    n_chunks = n // row_chunk
     t0 = time.time()
     fxs, fys = [], []
     for c in range(n_chunks):

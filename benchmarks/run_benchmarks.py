@@ -42,9 +42,10 @@ def time_run(cfg, state, steps, chunk=None):
     out = run(cfg, state, chunk)
     if steps % chunk:
         # The loop below ends with a partial chunk — a DIFFERENT jitted
-        # program; compile it here or its (minutes-scale at 1M+) compile
-        # lands inside the timed region.
-        _ = run(cfg, state, steps % chunk)
+        # program; compile it here (compile ONLY — executing it would queue
+        # device work that bleeds into the timed region) or its
+        # minutes-scale-at-1M+ compile lands inside the timed region.
+        run.lower(cfg, state, steps % chunk).compile()
     _ = np.asarray(out.x)
     t0 = time.time()
     done = 0

@@ -27,16 +27,11 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _read_csv(path):
+    import csv
+
     with open(path) as f:
-        header = f.readline().strip().split(",")
-        rows = []
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            vals = [v.strip() for v in line.split(",")]
-            rows.append(dict(zip(header, vals)))
-    return rows
+        return [{k: v.strip() for k, v in row.items()}
+                for row in csv.DictReader(f)]
 
 
 def median_runtimes(par_csv, seq_csv):

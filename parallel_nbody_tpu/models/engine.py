@@ -24,7 +24,8 @@ from ..state import State
 def step(cfg: SimConfig, state: State) -> State:
     """One simulation step (force -> velocity -> position)."""
     if cfg.kernel == "pallas":
-        from ..ops.pallas_step import any_coincident, pallas_forces
+        from ..ops.pallas_step import (forces_coincident_dispatch,
+                                       pallas_forces)
 
         # Coincident-pair dispatch: the dx-bias machinery that reproduces
         # the reference's atan2(0,0) kick (nbody-seq.c:91-106) costs ~2 VPU
@@ -33,16 +34,12 @@ def step(cfg: SimConfig, state: State) -> State:
         # only on steps that actually contain coincident distinct bodies —
         # the first step(s) of a glibc integer-pixel init — so every other
         # step runs at full speed with identical results.
-        def forces(biased):
-            def f(s):
-                return pallas_forces(cfg, s.x, s.y, s.mass, s.radius,
-                                     tile_i=cfg.tile_i, tile_j=cfg.tile_j,
-                                     interpret=cfg.pallas_interpret,
-                                     biased=biased)
-            return f
-
-        xf, yf = lax.cond(any_coincident(state.x, state.y, state.mass),
-                          forces(True), forces(False), state)
+        xf, yf = forces_coincident_dispatch(
+            state.x, state.y, state.mass,
+            lambda biased: pallas_forces(
+                cfg, state.x, state.y, state.mass, state.radius,
+                tile_i=cfg.tile_i, tile_j=cfg.tile_j,
+                interpret=cfg.pallas_interpret, biased=biased))
     else:
         xf, yf = compute_forces_dense(cfg, state.x, state.y, state.mass,
                                       state.radius)

@@ -457,3 +457,12 @@ def any_coincident(x, y, mass):
     xs, ys, ms = lax.sort((x, y, mass), num_keys=3)
     dup = (xs[1:] == xs[:-1]) & (ys[1:] == ys[:-1]) & (ms[:-1] > 0)
     return jnp.any(dup)
+
+
+def forces_coincident_dispatch(x, y, mass, call):
+    """Runtime biased/unbiased kernel dispatch (shared by models/engine.step
+    and the sharded all-gather path): run ``call(biased: bool)`` — which must
+    close over its inputs and return (xf, yf) — with the biased kernel only
+    when ``any_coincident(x, y, mass)`` holds."""
+    return lax.cond(any_coincident(x, y, mass),
+                    lambda _: call(True), lambda _: call(False), None)

@@ -56,19 +56,16 @@ def _local_forces_allgather(cfg, x, y, m_blk, r_blk, m_full, r_full):
         # data — no extra collective).  The ring/grid2d paths never hold
         # global positions and stay always-biased (~3% slower, same
         # results).
-        from ..ops.pallas_step import any_coincident, pallas_block_forces_auto
+        from ..ops.pallas_step import (forces_coincident_dispatch,
+                                       pallas_block_forces_auto)
 
-        def forces(biased):
-            def f(_):
-                return pallas_block_forces_auto(
-                    cfg, x, y, m_blk, r_blk, x_full, y_full, m_full, r_full,
-                    row_g0=my * shard, col_g0=0,
-                    tile_i=cfg.tile_i, tile_j=cfg.tile_j,
-                    interpret=cfg.pallas_interpret, biased=biased)
-            return f
-
-        return lax.cond(any_coincident(x_full, y_full, m_full),
-                        forces(True), forces(False), None)
+        return forces_coincident_dispatch(
+            x_full, y_full, m_full,
+            lambda biased: pallas_block_forces_auto(
+                cfg, x, y, m_blk, r_blk, x_full, y_full, m_full, r_full,
+                row_g0=my * shard, col_g0=0,
+                tile_i=cfg.tile_i, tile_j=cfg.tile_j,
+                interpret=cfg.pallas_interpret, biased=biased))
     return forces_block_vs_full(cfg, x, y, m_blk, r_blk,
                                 x_full, y_full, m_full, r_full,
                                 my * shard)

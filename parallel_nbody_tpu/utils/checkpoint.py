@@ -91,13 +91,15 @@ def load_state_orbax(path: str, cfg: SimConfig,
             state = State(*(jnp.asarray(tree["state"][f], dtype)
                             for f in _FIELDS))
         else:
+            # restore_args must mirror the SAVED tree exactly — build the
+            # scalar entries from the checkpoint's own metadata so older
+            # checkpoints (saved without "n_real") stay resumable.
+            meta = ckptr.metadata(os.path.abspath(path)).item_metadata.tree
             restore_args = {
-                "state": {f: ocp.ArrayRestoreArgs(sharding=sharding,
-                                                  dtype=dtype)
-                          for f in _FIELDS},
-                "step": ocp.RestoreArgs(),
-                "n_real": ocp.RestoreArgs(),
-            }
+                k: ocp.RestoreArgs() for k in meta if k != "state"}
+            restore_args["state"] = {
+                f: ocp.ArrayRestoreArgs(sharding=sharding, dtype=dtype)
+                for f in _FIELDS}
             tree = ckptr.restore(os.path.abspath(path),
                                  restore_args=restore_args)
             state = State(*(tree["state"][f] for f in _FIELDS))
