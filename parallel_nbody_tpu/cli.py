@@ -230,14 +230,22 @@ def main(argv=None) -> int:
     if opts["resume"]:
         try:
             if os.path.isdir(opts["resume"]):
+                meta = ckpt.orbax_metadata_tree(opts["resume"])
+                saved_len = ckpt.orbax_saved_length(opts["resume"], meta)
                 target = None
-                if multi and not opts["mesh2d"]:
+                if multi and not opts["mesh2d"] and \
+                        saved_len == n + ((-n) % pad_mult):
                     from .parallel.mesh import body_sharding
-                    if ckpt.orbax_saved_length(opts["resume"]) == \
-                            n + ((-n) % pad_mult):
-                        target = body_sharding(mesh)
+                    target = body_sharding(mesh)
                 state, start_step, n_ck = ckpt.load_state_orbax(
-                    opts["resume"], cfg, sharding=target)
+                    opts["resume"], cfg, sharding=target, meta_tree=meta)
+                if n_ck is None:
+                    # Pre-n_real checkpoint: the body count comes from argv;
+                    # anything past n is sharding padding.
+                    if saved_len < n:
+                        raise ValueError(
+                            "checkpoint holds only %d bodies" % saved_len)
+                    n_ck = n
                 if target is not None:
                     n_real, pre_sharded = n_ck, True
                 else:

@@ -116,7 +116,23 @@ def compute_forces_dense(cfg: SimConfig, x, y, mass, radius):
                               0, 0)
 
 
-def _forces_fast_block(cfg, xi, yi, mi, xj, yj, mj, ri, rj, gi0, gj0):
+def _pair_sign(dtype, ni, nj, gi0, gj0, gids):
+    """sign(gj - gi) over the (ni, nj) pair block — 0 exactly on self-pairs.
+
+    Global ids come either from contiguous offsets ``gi0``/``gj0`` (traced
+    or static) or, when ``gids=(gi_vec, gj_vec)`` is given, from explicit
+    per-body id vectors (the grid2d col group is STRIDED, one chunk per mesh
+    row, so offsets cannot describe it)."""
+    if gids is not None:
+        gi_v, gj_v = gids
+        return jnp.sign(gj_v[None, :] - gi_v[:, None]).astype(dtype)
+    gi = gi0 + lax.broadcasted_iota(jnp.int32, (ni, nj), 0)
+    gj = gj0 + lax.broadcasted_iota(jnp.int32, (ni, nj), 1)
+    return jnp.sign(gj - gi).astype(dtype)
+
+
+def _forces_fast_block(cfg, xi, yi, mi, xj, yj, mj, ri, rj, gi0, gj0,
+                       gids=None):
     """Fast-path force of every body in block J on every body in block I.
 
     One-sided accumulation (each row block computes its own forces over all
@@ -124,7 +140,7 @@ def _forces_fast_block(cfg, xi, yi, mi, xj, yj, mj, ri, rj, gi0, gj0):
     ``gi0``/``gj0`` are the blocks' GLOBAL starting body indices (traced or
     static): self-pairs are wherever gi0+i == gj0+j, and coincident distinct
     pairs get the reference's sign(gj - gi) * force kick along +x (see module
-    docstring).
+    docstring).  ``gids`` overrides the contiguous ids (see _pair_sign).
     """
     dtype = xi.dtype
     dx = xj[None, :] - xi[:, None]
@@ -141,9 +157,7 @@ def _forces_fast_block(cfg, xi, yi, mi, xj, yj, mj, ri, rj, gi0, gj0):
     # kick.  sign(gj - gi) is 0 exactly on self-pairs, masking them for free;
     # zero-mass padding keeps base == 0.
     ni, nj = dx.shape
-    gi = gi0 + lax.broadcasted_iota(jnp.int32, (ni, nj), 0)
-    gj = gj0 + lax.broadcasted_iota(jnp.int32, (ni, nj), 1)
-    sgn = jnp.sign(gj - gi).astype(dtype)
+    sgn = _pair_sign(dtype, ni, nj, gi0, gj0, gids)
     coin = dsqr == 0
     zero = jnp.zeros((), dtype)
     fx = scale * dx + jnp.where(coin, base * sgn, zero)
@@ -151,14 +165,15 @@ def _forces_fast_block(cfg, xi, yi, mi, xj, yj, mj, ri, rj, gi0, gj0):
 
 
 def _trig_cross_block(cfg, xi, yi, mi, ri, xj, yj, mj, rj, gi0, gj0,
-                      force_mask=None):
+                      force_mask=None, gids=None):
     """One-sided trig force of column block J on row block I (cross-block
     pairs of the sharded decomposition; nbody-par.c:302-308 analog).
 
     Applies the reference's coincident semantics by GLOBAL index (the
     reference's own par binary diverges from seq here; we follow seq — see
     module docstring).  ``force_mask`` (bool, (ni, nj)) optionally zeroes
-    pair forces (used to drop own-block columns handled by the triangle).
+    pair forces (used to drop own-block columns handled by the triangle);
+    ``gids`` overrides the contiguous global ids (see _pair_sign).
     """
     dtype = xi.dtype
     zero = jnp.zeros((), dtype)
@@ -172,9 +187,7 @@ def _trig_cross_block(cfg, xi, yi, mi, ri, xj, yj, mj, rj, gi0, gj0,
     if force_mask is not None:
         force = jnp.where(force_mask, zero, force)
     ni, nj = dx.shape
-    gi = gi0 + lax.broadcasted_iota(jnp.int32, (ni, nj), 0)
-    gj = gj0 + lax.broadcasted_iota(jnp.int32, (ni, nj), 1)
-    sgn = jnp.sign(gj - gi).astype(dtype)
+    sgn = _pair_sign(dtype, ni, nj, gi0, gj0, gids)
     coin = dsqr == 0  # includes self-pairs; sgn == 0 there
     fx = jnp.where(coin, force * sgn, force * jnp.cos(angle))
     fy = jnp.where(coin, zero, force * jnp.sin(angle))

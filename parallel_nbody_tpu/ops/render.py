@@ -55,17 +55,38 @@ def min_hit_index_rows(x, y, radius, ys, width, base_idx=0):
 _min_hit_index_rows = min_hit_index_rows
 
 
+def _tint_div(b1, d: int):
+    """Exact ``(0xFFF * b1) // d`` in int32 for 0 <= b1 < d < 2**29.
+
+    The direct product overflows int32 once b1 >= 2**19 (= bodies beyond
+    ~524K — precisely the large-N regime the chunked renderer exists for;
+    the reference's own C ``int`` math has the same wrap but only ever sees
+    N <= 10000).  int64 is unavailable under the fp32 TPU config, so:
+    estimate the quotient in float32 (error well under 1: the true quotient
+    is < 4096), then fix it with the residual computed in WRAPPING int32
+    arithmetic — the true residual lies in (-2d, 2d), far inside int32, so
+    the wrapped value is exact.
+    """
+    q = jnp.floor(b1.astype(jnp.float32) * float(0xFFF) / float(d)) \
+        .astype(jnp.int32)
+    res = 0xFFF * b1 - q * d  # exact despite int32 wrap (|true| < 2d < 2^30)
+    q = jnp.where(res >= d, q + 1, jnp.where(res < 0, q - 1, q))
+    res = 0xFFF * b1 - q * d
+    return jnp.where(res >= d, q + 1, jnp.where(res < 0, q - 1, q))
+
+
 def tint_rgb(best, n_real: int):
     """12-bit body-index tint unpacked into RGB nibbles
     (nbody-seq.c:307-316); black where nothing hit.  best: (..., ) int
     min-hit indices.  Returns (..., 3) uint8."""
-    tint = (0xFFF * (best + 1)) // (n_real + 2)
+    miss_mask = best == _NO_HIT
+    b1 = jnp.where(miss_mask, 0, best) + 1  # keep the math in-range on misses
+    tint = _tint_div(b1, n_real + 2)
     red = (tint & 0xF) << 4
     green = tint & 0xF0
     blue = (tint & 0xF00) >> 4
     rgb = jnp.stack([red, green, blue], axis=-1).astype(jnp.uint8)
-    miss = (best == _NO_HIT)[..., None]
-    return jnp.where(miss, jnp.zeros((), jnp.uint8), rgb)
+    return jnp.where(miss_mask[..., None], jnp.zeros((), jnp.uint8), rgb)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))

@@ -66,35 +66,17 @@ def body_sharding_2d(mesh: Mesh) -> NamedSharding:
 
 def _block_forces_masked(cfg, xi, yi, mi, ri, xj, yj, mj, rj, gid_i, gid_j):
     """One-sided force of col set J on row set I with true self-pairs
-    (same global body) masked by id — the reference's per-pair math
-    (nbody-seq.c:89-106) in both modes, including the coincident-pair
-    ``sign(gj - gi) * force`` kick along +x (atan2(0,0) = 0 limit; see
-    ops/forces.py module docstring)."""
-    dtype = xi.dtype
-    zero = jnp.zeros((), dtype)
-    delta = gid_j[None, :] - gid_i[:, None]
-    sgn = jnp.sign(delta).astype(dtype)  # 0 exactly on self-pairs
-
-    dx = xj[None, :] - xi[:, None]
-    dy = yj[None, :] - yi[:, None]
-    dsqr = dx * dx + dy * dy
-    coin = dsqr == 0
-    mind = ri[:, None] + rj[None, :]
-    forced = jnp.maximum(jnp.maximum(dsqr, mind * mind), 1e-30)
-    force = mi[:, None] * mj[None, :] * cfg.gravity / forced
+    (same global body) masked by id.  Thin wrapper over the shared per-pair
+    physics in ops/forces.py (trig and fast, including the coincident-pair
+    ``sign(gj - gi) * force`` kick) — the col group is STRIDED, so the
+    explicit ``gids`` vectors replace contiguous block offsets."""
+    from ..ops.forces import _forces_fast_block, _trig_cross_block
 
     if cfg.force_mode == "trig":
-        angle = jnp.arctan2(dy, dx)
-        # Non-coincident self-pairs cannot exist (same body => same
-        # position), so the coin/sgn select subsumes the old same-id mask.
-        fx = jnp.where(coin, force * sgn, force * jnp.cos(angle))
-        fy = jnp.where(coin, zero, force * jnp.sin(angle))
-        return jnp.sum(fx, axis=1), jnp.sum(fy, axis=1)
-
-    inv_r = jnp.where(dsqr > 0, lax.rsqrt(jnp.maximum(dsqr, 1e-30)), zero)
-    scale = force * inv_r
-    fx = scale * dx + jnp.where(coin, force * sgn, zero)
-    return jnp.sum(fx, axis=1), jnp.sum(scale * dy, axis=1)
+        return _trig_cross_block(cfg, xi, yi, mi, ri, xj, yj, mj, rj,
+                                 0, 0, gids=(gid_i, gid_j))
+    return _forces_fast_block(cfg, xi, yi, mi, xj, yj, mj, ri, rj,
+                              0, 0, gids=(gid_i, gid_j))
 
 
 def _grid2d_run_local(cfg: SimConfig, steps: int,

@@ -52,25 +52,42 @@ def save_state_orbax(path: str, state: State, step: int,
     import orbax.checkpoint as ocp
 
     with ocp.PyTreeCheckpointer() as ckptr:
+        # force: overwrite an existing checkpoint at the same path, matching
+        # the .npz path's re-run semantics (np.savez silently overwrites).
         ckptr.save(os.path.abspath(path),
                    {"state": state._asdict(), "step": step,
-                    "n_real": int(state.n if n_real is None else n_real)})
+                    "n_real": int(state.n if n_real is None else n_real)},
+                   force=True)
 
 
-def orbax_saved_length(path: str) -> int:
-    """Body-axis length of the arrays stored in an Orbax checkpoint
-    (padding included), read from metadata without restoring anything."""
+def orbax_metadata_tree(path: str):
+    """The saved tree's metadata (shapes/keys, nothing restored).
+
+    Raises ``ValueError`` when ``path`` is not an Orbax checkpoint
+    directory, so CLI callers surface a friendly error instead of an
+    AttributeError from Orbax internals."""
     import os
 
     import orbax.checkpoint as ocp
 
     with ocp.PyTreeCheckpointer() as ckptr:
         meta = ckptr.metadata(os.path.abspath(path))
-    return int(meta.item_metadata.tree["state"]["x"].shape[0])
+    item = getattr(meta, "item_metadata", None)
+    tree = getattr(item, "tree", None)
+    if not tree or "state" not in tree:
+        raise ValueError("not an Orbax checkpoint directory")
+    return tree
 
 
-def load_state_orbax(path: str, cfg: SimConfig,
-                     sharding=None) -> tuple[State, int, int]:
+def orbax_saved_length(path: str, meta_tree=None) -> int:
+    """Body-axis length of the arrays stored in an Orbax checkpoint
+    (padding included), read from metadata without restoring anything."""
+    tree = meta_tree if meta_tree is not None else orbax_metadata_tree(path)
+    return int(tree["state"]["x"].shape[0])
+
+
+def load_state_orbax(path: str, cfg: SimConfig, sharding=None,
+                     meta_tree=None) -> tuple[State, int, int | None]:
     """Restore an Orbax checkpoint -> (state, step, n_real).
 
     With ``sharding`` (a ``NamedSharding``), every array is restored
@@ -78,6 +95,11 @@ def load_state_orbax(path: str, cfg: SimConfig,
     addresses, so resuming a sharded run never materializes the full state
     on one host (resharding across different mesh sizes happens on read).
     Without it, plain host arrays are returned.
+
+    ``n_real`` is ``None`` for checkpoints written before the key existed —
+    callers that know the body count from elsewhere (the CLI's argv) can
+    still unpad and resume them.  ``meta_tree`` (from
+    ``orbax_metadata_tree``) avoids a second metadata read.
     """
     import os
 
@@ -94,7 +116,8 @@ def load_state_orbax(path: str, cfg: SimConfig,
             # restore_args must mirror the SAVED tree exactly — build the
             # scalar entries from the checkpoint's own metadata so older
             # checkpoints (saved without "n_real") stay resumable.
-            meta = ckptr.metadata(os.path.abspath(path)).item_metadata.tree
+            meta = (meta_tree if meta_tree is not None
+                    else orbax_metadata_tree(path))
             restore_args = {
                 k: ocp.RestoreArgs() for k in meta if k != "state"}
             restore_args["state"] = {
@@ -103,5 +126,5 @@ def load_state_orbax(path: str, cfg: SimConfig,
             tree = ckptr.restore(os.path.abspath(path),
                                  restore_args=restore_args)
             state = State(*(tree["state"][f] for f in _FIELDS))
-    n_real = int(tree.get("n_real", state.n))
+    n_real = int(tree["n_real"]) if "n_real" in tree else None
     return state, int(tree["step"]), n_real

@@ -92,8 +92,10 @@ def test_run_xps_csv(arena):
 
 
 def test_measure_comm(arena):
+    # --xps-precise: at the reference's %.3f a sub-0.5ms collective rounds
+    # to 0.000 on a fast machine, making the positivity assert flaky.
     r = run_cli(["64", "0", arena, "20", "--run-xps", "--devices=2",
-                 "--measure-comm"])
+                 "--measure-comm", "--xps-precise"])
     parts = r.stdout.strip().split(",")
     assert float(parts[5]) > 0  # COMMTIME (real 2-device mesh collective)
     assert float(parts[6]) >= 0  # RATIO
@@ -176,6 +178,35 @@ def test_resume_missing_path_fails_loudly(arena):
     assert r.returncode == 1
     assert "Cannot resume" in r.stderr
     assert "Traceback" not in r.stderr
+
+
+def test_resume_non_checkpoint_dir_fails_loudly(arena, tmp_path):
+    # An existing directory that is NOT an Orbax checkpoint must produce the
+    # friendly error, not an AttributeError from Orbax internals.
+    junk = tmp_path / "junk"
+    junk.mkdir()
+    r = run_cli(["16", "0", arena, "10", "--devices=2",
+                 f"--resume={junk}"])
+    assert r.returncode == 1
+    assert "Cannot resume" in r.stderr
+    assert "Traceback" not in r.stderr
+
+
+def test_checkpoint_orbax_overwrite_on_rerun(arena, tmp_path):
+    # Re-running with the same --checkpoint directory must overwrite (the
+    # .npz path's np.savez semantics), not crash after the simulation.
+    ck = str(tmp_path / "ckpt_dir")
+    first = run_cli(["16", "0", arena, "50", "--devices=2",
+                     f"--checkpoint={ck}"])
+    assert first.returncode == 0, first.stderr[-2000:]
+    second = run_cli(["16", "0", arena, "100", "--devices=2",
+                      f"--checkpoint={ck}"])
+    assert second.returncode == 0, second.stderr[-2000:]
+    resumed = run_cli(["16", "0", arena, "100", "--devices=2",
+                       f"--resume={ck}"])
+    # The checkpoint now holds the 100-step state: resuming at steps=100
+    # runs zero further steps and must reproduce the second run's output.
+    assert resumed.stdout == second.stdout
 
 
 def test_frame_rendering_with_secsup(arena, tmp_path):
