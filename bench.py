@@ -44,10 +44,10 @@ def main():
     out = run(cfg, state, steps)
     _ = np.asarray(out.x)
 
-    # Best of 3 timed repetitions: the device transport adds run-to-run
+    # Best of 5 timed repetitions: the device transport adds run-to-run
     # jitter; the minimum is the cleanest estimate of kernel time.
     rtime = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         out = run(cfg, out, steps)
         _ = np.asarray(out.x)  # forces completion through the transfer path
