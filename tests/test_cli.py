@@ -56,6 +56,17 @@ def test_stderr_contract_and_output(arena):
         assert len(line.split()) == 6
 
 
+def test_zero_steps_multi_device_prints_init(arena):
+    # steps=0 must print the initial state (reference behavior) and be
+    # shard-invariant — the sharded path's gather/unpad runs with no
+    # compiled step program at all.
+    a = run_cli(["16", "0", arena, "0"])
+    b = run_cli(["16", "0", arena, "0", "--devices=4"])
+    assert a.returncode == 0 and b.returncode == 0, b.stderr[-2000:]
+    assert a.stdout == b.stdout
+    assert len(a.stdout.splitlines()) == 16
+
+
 def test_bodyct_clamping(arena):
     r = run_cli(["1", "0", arena, "1"])
     assert "Using two bodies..." in r.stderr
