@@ -24,11 +24,19 @@ def run_cli(args, env_extra=None):
     env["XLA_FLAGS"] = " ".join(flags)
     if env_extra:
         env.update(env_extra)
-    # timeout guards against a rare XLA-CPU virtual-device dispatch hang
-    # (observed ~1/50 runs); better a loud failure than a stuck suite.
-    return subprocess.run(
-        [sys.executable, "-m", "parallel_nbody_tpu.cli"] + args,
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=600)
+    # The timeout guards against a rare XLA-CPU virtual-device dispatch hang
+    # (environmental, observed ~1/50 runs).  One retry converts that known
+    # nondeterministic hang into a pass (~1/2500 residual) while still
+    # failing loudly on anything reproducible; subprocess.run kills the hung
+    # child on timeout before the retry starts.
+    cmd = [sys.executable, "-m", "parallel_nbody_tpu.cli"] + args
+    for attempt in (1, 2):
+        try:
+            return subprocess.run(cmd, capture_output=True, text=True,
+                                  env=env, cwd=REPO, timeout=600)
+        except subprocess.TimeoutExpired:
+            if attempt == 2:
+                raise
 
 
 @pytest.fixture(scope="module")
