@@ -33,6 +33,8 @@ plus TPU-era extensions (all optional, order-free):
                       nbody-par.c:956
 
 Behavioral contract preserved exactly:
+  - positional args parsed with C atoi/atol semantics (non-numeric -> 0,
+    nbody-seq.c:421-435), so ``nbody abc 0 arena 10`` clamps to two bodies
   - bodyCt clamped to [2, 10000] with the reference's stderr messages
   - arena dims parsed from the P6 header
   - stderr: "Running N-body with %i bodies and %i steps"
@@ -61,6 +63,36 @@ def _fail_usage(prog: str) -> None:
     sys.exit(1)
 
 
+def _atoi(s: str) -> int:
+    """C atoi/atol semantics for the positional args (the reference parses
+    them with atol/atoi, nbody-seq.c:421,430,435): skip leading whitespace,
+    take an optional sign and any leading digits, stop at the first
+    non-digit; no digits at all -> 0.  So ``nbody abc 0 arena 10`` runs with
+    bodyCt=0 -> the "Using two bodies..." clamp, exactly like the C binary.
+    """
+    import re
+    digits = re.match(r"\s*([+-]?\d*)", s).group(1)
+    if digits in ("", "+", "-"):
+        return 0
+    return int(digits)
+
+
+def cadence_chunk_cap(secsup: float, per_step: float) -> int:
+    """Largest power-of-two steps-per-dispatch that keeps the wall-clock
+    frame check running at least about every ``secsup`` seconds.
+
+    The reference checks elapsed time EVERY step (nbody-seq.c:467-471); the
+    chunked on-device loop checks between dispatches, so a frame could lag
+    by one chunk's wall-time.  Capping the chunk at ~secsup worth of steps
+    bounds that lag to ~secsup (frames at most ~2*secsup apart).  Power-of-
+    two quantization bounds the number of distinct chunk programs compiled.
+    """
+    cap = int(secsup / max(per_step, 1e-9))
+    if cap <= 1:
+        return 1
+    return 1 << (cap.bit_length() - 1)
+
+
 def parse_args(argv):
     if len(argv) < 5:
         _fail_usage(argv[0])
@@ -82,6 +114,10 @@ def parse_args(argv):
             opts["devices"] = int(a.split("=", 1)[1])
         elif a.startswith("--comm="):
             opts["comm"] = a.split("=", 1)[1]
+            if opts["comm"] not in ("allgather", "ring"):
+                sys.stderr.write("Bad --comm value (expected allgather or "
+                                 "ring): %s\n" % a)
+                sys.exit(1)
         elif a.startswith("--mesh2d="):
             try:
                 pr, pc = a.split("=", 1)[1].lower().split("x")
@@ -121,7 +157,7 @@ def parse_args(argv):
         else:
             sys.stderr.write("Unknown flag: %s\n" % a)
             sys.exit(1)
-    n = int(argv[1])
+    n = _atoi(argv[1])
     if not opts["no_clamp"]:
         if n > MAXBODIES:
             sys.stderr.write("Using only %d bodies...\n" % MAXBODIES)
@@ -129,9 +165,9 @@ def parse_args(argv):
         elif n < 2:
             sys.stderr.write("Using two bodies...\n")
             n = 2
-    secsup = int(argv[2])
+    secsup = _atoi(argv[2])
     ppm_path = argv[3]
-    steps = int(argv[4])
+    steps = _atoi(argv[4])
     return n, secsup, ppm_path, steps, opts
 
 
@@ -304,11 +340,17 @@ def main(argv=None) -> int:
         # intermediate stays bounded regardless of XLA's fusion choices
         # (the chunk size is proven on-TPU by benchmarks/huge_n.py).
         body_chunk = None if state.n <= 262144 else 262144
+        # Optional frame accounting for tests/instrumentation: append one
+        # line per rendered frame to the named file.
+        frame_log = os.environ.get("NBODY_FRAME_LOG")
 
         def render_fn(st):
             frame = render_frame(cfg, st.x, st.y, st.radius, n_real,
                                  32, body_chunk)
             ppmio.write_pixels(ppm, np.asarray(jax.device_get(frame)))
+            if frame_log:
+                with open(frame_log, "a") as f:
+                    f.write("frame %.3f\n" % time.time())
 
     if opts["measure_comm"] and opts["run_xps"] and multi:
         from .utils.timing import measure_comm_fraction
@@ -327,6 +369,17 @@ def main(argv=None) -> int:
     if opts["chunk_steps"]:
         chunk = min(chunk, opts["chunk_steps"]) if secsup > 0 \
             else opts["chunk_steps"]
+    if render_fn is not None and remaining > 0 and chunk > 1:
+        # Frame-cadence fidelity (reference: the elapsed check runs EVERY
+        # step, nbody-seq.c:467-471): probe one step's wall time on a
+        # discarded copy of the state — compile and probe both land outside
+        # the timed region — and cap the chunk so the between-dispatch check
+        # runs at least about every ``secsup`` seconds.
+        probe = compile_chunk(1)
+        jax.block_until_ready(probe(state))  # separate warm-up dispatch
+        t_probe = time.time()
+        jax.block_until_ready(probe(state))
+        chunk = min(chunk, cadence_chunk_cap(secsup, time.time() - t_probe))
     if remaining > 0:
         if chunked:
             compile_chunk(min(chunk, remaining))
@@ -346,10 +399,17 @@ def main(argv=None) -> int:
             k = min(chunk, remaining - done)
             state = run_chunk(state, k)
             done += k
-            if render_fn is not None and time.time() - lastup > secsup:
+            if render_fn is not None:
+                # Completion fence BEFORE the elapsed check: dispatches are
+                # async, so without it the loop queues every chunk in
+                # milliseconds and the wall-clock test fires at most once —
+                # the reference's cadence (nbody-seq.c:467-471) is measured
+                # against completed simulation work.  (--chunk-steps without
+                # rendering keeps the faster queued-dispatch pattern.)
                 jax.block_until_ready(state)
-                render_fn(state)
-                lastup = time.time()
+                if time.time() - lastup > secsup:
+                    render_fn(state)
+                    lastup = time.time()
     elif remaining > 0:
         state = run_chunk(state, remaining)
     jax.block_until_ready(state)
@@ -374,7 +434,13 @@ def main(argv=None) -> int:
     ckpt_orbax = opts["checkpoint"] and not opts["checkpoint"].endswith(
         ".npz")
     if ckpt_orbax:
-        ckpt.save_state_orbax(opts["checkpoint"], state, steps, n_real)
+        try:
+            ckpt.save_state_orbax(opts["checkpoint"], state, steps, n_real)
+        except Exception as e:  # noqa: BLE001 — mirror the resume guard:
+            # e.g. Orbax refuses host-local (unsharded) arrays in a
+            # multi-process run; report and still deliver the run's output.
+            sys.stderr.write("Cannot checkpoint to %s: %s\n"
+                             % (opts["checkpoint"], e))
 
     if multi:
         if jax.process_count() > 1:

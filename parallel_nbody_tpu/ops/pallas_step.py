@@ -453,8 +453,12 @@ def any_coincident(x, y, mass):
     Exact, no false negatives: a 3-key lexicographic sort puts equal
     positions adjacent and groups them by mass, so zero-mass padding (which
     all sits at the same far coordinate) never splits or fakes a real pair.
+    Signed zeros are normalized first (``+ 0.0`` maps -0.0 to +0.0): the
+    kernel's dx/dy arithmetic treats -0.0 and +0.0 as coincident, but
+    lax.sort's total order separates them — without the normalization a
+    third body sorting between them could hide a genuinely coincident pair.
     """
-    xs, ys, ms = lax.sort((x, y, mass), num_keys=3)
+    xs, ys, ms = lax.sort((x + 0.0, y + 0.0, mass), num_keys=3)
     dup = (xs[1:] == xs[:-1]) & (ys[1:] == ys[:-1]) & (ms[:-1] > 0)
     return jnp.any(dup)
 

@@ -79,6 +79,11 @@ def tint_rgb(best, n_real: int):
     """12-bit body-index tint unpacked into RGB nibbles
     (nbody-seq.c:307-316); black where nothing hit.  best: (..., ) int
     min-hit indices.  Returns (..., 3) uint8."""
+    if n_real + 2 >= 1 << 29:
+        raise ValueError(
+            "exact 12-bit tint requires n_real + 2 < 2**29 (= %d bodies); "
+            "got %d — beyond that the fp32 quotient estimate in _tint_div "
+            "can no longer be corrected exactly" % ((1 << 29) - 2, n_real))
     miss_mask = best == _NO_HIT
     b1 = jnp.where(miss_mask, 0, best) + 1  # keep the math in-range on misses
     tint = _tint_div(b1, n_real + 2)

@@ -65,3 +65,26 @@ def test_orbax_roundtrip_sharded(tmp_path):
     assert resharded.x.sharding.mesh.size == 4
     np.testing.assert_array_equal(np.asarray(resharded.x),
                                   np.asarray(sharded.x))
+
+
+def test_cli_orbax_save_failure_is_guarded(tmp_path, monkeypatch, capsys):
+    """ADVICE r3: a failing Orbax save (e.g. host-local arrays in a
+    multi-process run) must not crash the driver after the whole simulation
+    ran — the CLI reports "Cannot checkpoint" and still prints the result."""
+    from parallel_nbody_tpu import cli
+    from parallel_nbody_tpu.utils import checkpoint as ckpt_mod
+    from parallel_nbody_tpu.utils import ppm
+
+    def boom(*a, **kw):
+        raise ValueError("Cannot serialize host local jax.Array")
+
+    monkeypatch.setattr(ckpt_mod, "save_state_orbax", boom)
+    arena = str(tmp_path / "arena.ppm")
+    ppm.create(arena, 64, 48)
+    rc = cli.main(["nbody", "4", "0", arena, "1",
+                   "--checkpoint=%s" % str(tmp_path / "ck"),
+                   "--devices=1", "--dtype=float64"])
+    out = capsys.readouterr()
+    assert rc == 0
+    assert "Cannot checkpoint to" in out.err
+    assert len(out.out.splitlines()) == 4  # the result still printed

@@ -314,3 +314,75 @@ def test_par_csv_byte_contract(arena):
     # (nbody-seq.c:488).
     r = run_cli(["64", "0", arena, "5", "--run-xps", "--devices=1"])
     assert re.fullmatch(r"\d+,\d+\.\d{3}, \d+\.\d{2}", r.stdout.strip())
+
+
+def test_comm_flag_validated_at_parse_time(arena):
+    """VERDICT r3 #3: --comm=bogus must get the same friendly parse-time
+    error surface as --mesh2d / --chunk-steps, not an AssertionError
+    traceback from deep inside the sharded runner."""
+    r = run_cli(["16", "0", arena, "1", "--comm=bogus", "--devices=2"])
+    assert r.returncode == 1
+    assert "Bad --comm value" in r.stderr
+    assert "Traceback" not in r.stderr
+
+
+def test_positional_args_atoi_semantics(arena):
+    """VERDICT r3 #3: the reference parses positionals with atol/atoi
+    (nbody-seq.c:421-435) — non-numeric -> 0 -> the bodyCt<2 clamp path,
+    not a ValueError traceback."""
+    r = run_cli(["abc", "0", arena, "2"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Using two bodies..." in r.stderr
+    assert len(r.stdout.splitlines()) == 2
+
+    # atoi takes the leading numeric prefix: "12x" -> 12, "3.9" -> 3.
+    r = run_cli(["12x", "0", arena, "3.9"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Running N-body with 12 bodies and 3 steps" in r.stderr
+
+
+def test_atoi_unit():
+    from parallel_nbody_tpu.cli import _atoi
+    assert _atoi("123") == 123
+    assert _atoi("  -42xyz") == -42
+    assert _atoi("+7") == 7
+    assert _atoi("abc") == 0
+    assert _atoi("") == 0
+    assert _atoi("-") == 0
+    assert _atoi("3.9") == 3
+
+
+def test_cadence_chunk_cap_unit():
+    from parallel_nbody_tpu.cli import cadence_chunk_cap
+    # Steps slower than secsup: check every step, like the reference.
+    assert cadence_chunk_cap(1, 2.0) == 1
+    assert cadence_chunk_cap(1, 1.0) == 1
+    # 10 steps/sec at secsup=1 -> largest power of two <= 10.
+    assert cadence_chunk_cap(1, 0.1) == 8
+    assert cadence_chunk_cap(5, 0.001) == 4096
+    # Degenerate probe readings never produce a non-positive chunk.
+    assert cadence_chunk_cap(1, 0.0) >= 1
+
+
+def test_frame_cadence_with_slow_steps(tmp_path):
+    """VERDICT r3 #8: with secsup=1 at a slow-stepping N, frames must keep
+    coming at least about every 2*secsup of wall time.  Two regressions are
+    covered: (a) async dispatch — without a completion fence the loop queues
+    every chunk in milliseconds and renders exactly one frame; (b) an
+    uncapped chunk spacing the elapsed checks much wider than secsup."""
+    from parallel_nbody_tpu.utils import ppm
+    arena = str(tmp_path / "small.ppm")
+    ppm.create(arena, 256, 192)  # small arena keeps each render cheap
+    log = str(tmp_path / "frames.log")
+    r = run_cli(["1500", "1", arena, "60"],
+                env_extra={"NBODY_FRAME_LOG": log})
+    assert r.returncode == 0, r.stderr[-2000:]
+    import re
+    rtime = float(re.search(r"N-body took: ([0-9.]+)", r.stderr).group(1))
+    frames = 0
+    if os.path.exists(log):
+        with open(log) as f:
+            frames = sum(1 for _ in f)
+    if rtime >= 6.0:  # guard: on an implausibly fast box the run is too
+        # short to discriminate; the unit test above still covers the cap.
+        assert frames >= int(rtime / 2.0) - 1, (frames, rtime)

@@ -231,3 +231,18 @@ def test_glibc_init_n4096_has_coincident_pairs_and_fast_agrees():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(fy), np.asarray(ty), rtol=1e-9,
                                atol=1e-6)
+
+
+def test_any_coincident_signed_zero_not_split_by_sort():
+    """ADVICE r3: lax.sort's total order separates -0.0 and +0.0 on the x
+    key while the kernels' dx arithmetic treats them as coincident; a third
+    body sorting between them must not hide the real pair.  (x + 0.0
+    normalization maps -0.0 -> +0.0 before sorting.)"""
+    from parallel_nbody_tpu.ops.pallas_step import any_coincident
+    x = jnp.asarray([-0.0, 0.0, -0.0], jnp.float64)
+    y = jnp.asarray([7.0, 7.0, 9.0], jnp.float64)
+    m = jnp.ones(3, jnp.float64)
+    # Bodies 0 and 1 are physically coincident (dx = 0.0 - (-0.0) = 0);
+    # unnormalized sort order would be (-0.0,7), (-0.0,9), (+0.0,7),
+    # leaving the coincident pair non-adjacent.
+    assert bool(any_coincident(x, y, m))

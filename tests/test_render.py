@@ -121,3 +121,16 @@ def test_tint_rgb_exact_at_large_indices():
     # Misses stay black.
     got = np.asarray(tint_rgb(jnp.asarray([_NO_HIT], jnp.int32), 10_000_000))
     assert (got == 0).all()
+
+
+def test_tint_exactness_guard_fails_loudly():
+    """ADVICE r3: beyond n_real + 2 >= 2**29 the exact-tint correction
+    silently degrades; the renderer must refuse instead."""
+    import pytest
+    import jax.numpy as jnp
+    from parallel_nbody_tpu.ops.render import tint_rgb
+    with pytest.raises(ValueError, match="2\\*\\*29"):
+        tint_rgb(jnp.zeros((4,), jnp.int32), (1 << 29))
+    # Just inside the bound still works.
+    out = tint_rgb(jnp.zeros((4,), jnp.int32), (1 << 29) - 3)
+    assert out.shape == (4, 3)
