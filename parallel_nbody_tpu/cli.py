@@ -14,6 +14,11 @@ plus TPU-era extensions (all optional, order-free):
     --fast            transcendental-free force path (fp32/TPU speed path)
     --pallas          use the Pallas VMEM-tiled force kernel (implies --fast)
     --dtype=T         float32 | float64 (default: float64 on CPU, float32 on TPU)
+    --accum=MODE      "plain" (default) or "compensated" (Kahan-compensated
+                      partial sums in the Pallas force kernels — the
+                      fp64-emulated accumulation option; see
+                      benchmarks/drift_study.py for its measured accuracy
+                      and cost)
     --no-clamp        allow N > 10000 (the reference clamps to MAXBODIES)
     --check-nans      enable NaN debugging + post-run state validation
     --checkpoint=PATH save final state; PATH ending in .npz = exact host
@@ -101,7 +106,7 @@ def parse_args(argv):
         "devices": None, "comm": "allgather", "fast": False, "pallas": False,
         "dtype": None, "no_clamp": False, "checkpoint": None, "resume": None,
         "check_nans": False, "mesh2d": None, "chunk_steps": None,
-        "xps_precise": False,
+        "xps_precise": False, "accum": "plain",
     }
     for a in argv[5:]:
         if a == "--run-xps":
@@ -135,6 +140,12 @@ def parse_args(argv):
             opts["pallas"] = True
         elif a.startswith("--dtype="):
             opts["dtype"] = a.split("=", 1)[1]
+        elif a.startswith("--accum="):
+            opts["accum"] = a.split("=", 1)[1]
+            if opts["accum"] not in ("plain", "compensated"):
+                sys.stderr.write("Bad --accum value (expected plain or "
+                                 "compensated): %s\n" % a)
+                sys.exit(1)
         elif a.startswith("--chunk-steps="):
             try:
                 opts["chunk_steps"] = int(a.split("=", 1)[1])
@@ -229,6 +240,7 @@ def main(argv=None) -> int:
         force_mode="fast" if opts["fast"] else "trig",
         dtype=opts["dtype"],
         kernel="pallas" if opts["pallas"] else "xla",
+        accum=opts["accum"],
         # Off-TPU, the TPU kernel runs in interpret mode (same kernel
         # semantics, emulated) so the --pallas variant is testable on the
         # virtual CPU mesh.
@@ -308,11 +320,35 @@ def main(argv=None) -> int:
     elif not multi:
         n_real = n
 
+    # Huge single-chip Pallas runs (N=10M scale): one fused dispatch would be
+    # ~490 s of device work at N=10M (docs/REPORT.md) — far past transports
+    # that bound per-dispatch duration — so the step is dispatched in
+    # bounded row chunks driven from the host (models.engine.
+    # make_hosted_row_step); rendering likewise host-chunks the body axis.
+    huge = not multi and opts["pallas"] and n > 2_000_000
+
+    def _fence(a):
+        return jax.device_get(a[:1])
+
     # AOT-compiled executables per chunk size (compile happens once, outside
     # the timed region, and the compiled object is what the loop invokes).
     compiled_cache = {}
 
     def compile_chunk(k):
+        if huge:
+            if "huge" not in compiled_cache:
+                from .models.engine import make_hosted_row_step
+                step_fn, warmup = make_hosted_row_step(cfg, n)
+                warmup()
+                compiled_cache["huge"] = step_fn
+            step_fn = compiled_cache["huge"]
+
+            def run_k(st, _k=k):
+                for _ in range(_k):
+                    st = step_fn(st, fence=_fence)
+                return st
+
+            return run_k
         if k not in compiled_cache:
             if multi and opts["mesh2d"]:
                 from .parallel.grid2d import make_grid2d_run
@@ -334,20 +370,26 @@ def main(argv=None) -> int:
         # The reference's PARALLEL binary never renders (display() is
         # duplicated but never called, nbody-par.c:674-702; secsup parsed
         # but unused) — multi-process runs match that and skip frames.
-        from .ops.render import render_frame
+        from .ops.render import render_frame, render_frame_hosted
 
         # Beyond ~256K bodies, chunk the body axis so the per-chunk hit
         # intermediate stays bounded regardless of XLA's fusion choices
-        # (the chunk size is proven on-TPU by benchmarks/huge_n.py).
+        # (the chunk size is proven on-TPU by benchmarks/huge_n.py); beyond
+        # 2M the on-device chunk loop itself would be one multi-ten-second
+        # dispatch, so the chunks become separate host-driven dispatches.
         body_chunk = None if state.n <= 262144 else 262144
         # Optional frame accounting for tests/instrumentation: append one
         # line per rendered frame to the named file.
         frame_log = os.environ.get("NBODY_FRAME_LOG")
 
         def render_fn(st):
-            frame = render_frame(cfg, st.x, st.y, st.radius, n_real,
-                                 32, body_chunk)
-            ppmio.write_pixels(ppm, np.asarray(jax.device_get(frame)))
+            if st.n > 2_000_000:
+                frame = render_frame_hosted(cfg, st.x, st.y, st.radius,
+                                            n_real, fence=_fence)
+            else:
+                frame = np.asarray(jax.device_get(render_frame(
+                    cfg, st.x, st.y, st.radius, n_real, 32, body_chunk)))
+            ppmio.write_pixels(ppm, frame)
             if frame_log:
                 with open(frame_log, "a") as f:
                     f.write("frame %.3f\n" % time.time())
@@ -369,6 +411,11 @@ def main(argv=None) -> int:
     if opts["chunk_steps"]:
         chunk = min(chunk, opts["chunk_steps"]) if secsup > 0 \
             else opts["chunk_steps"]
+    if huge:
+        # Each huge step is already many bounded dispatches and tens of
+        # seconds of wall time; check the frame clock every step (and never
+        # run a probe step — it would cost a full force pass).
+        chunk = 1
     if render_fn is not None and remaining > 0 and chunk > 1:
         # Frame-cadence fidelity (reference: the elapsed check runs EVERY
         # step, nbody-seq.c:467-471): probe one step's wall time on a

@@ -41,6 +41,13 @@ class SimConfig:
         VMEM with the hand-written TPU kernel (ops/pallas_step.py) — required
         beyond ~16K bodies where the dense (N, N) matrix stops fitting.
       tile_i / tile_j: Pallas row/column tile sizes.
+      accum: ``"plain"`` (default) sums force partials directly;
+        ``"compensated"`` Kahan-compensates the Pallas kernels' partial-sum
+        chains (per column tile within a band, and across HBM bands in the
+        streamed kernel) — the "fp64-emulated accumulation" option of
+        BASELINE config 3, priced and validated against the fp64 oracle in
+        benchmarks/drift_study.py.  Pallas kernels only; the xla/trig paths
+        use fp64 on CPU where compensation is moot.
     """
 
     xdim: int = 1024
@@ -53,6 +60,7 @@ class SimConfig:
     kernel: Literal["xla", "pallas"] = "xla"
     tile_i: int = 1024
     tile_j: int = 1024
+    accum: Literal["plain", "compensated"] = "plain"
     # Run Pallas kernels in interpret mode (CPU-testable emulation of the
     # TPU kernel — used by the test suite's virtual mesh; never on hardware).
     pallas_interpret: bool = False

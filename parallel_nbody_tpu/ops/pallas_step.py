@@ -129,6 +129,20 @@ def _as_scalar_arr(v):
     return jnp.asarray(v, jnp.int32).reshape(1, 1)
 
 
+def _kahan_add(acc, comp, val):
+    """One classic Kahan (compensated summation) step: fold ``val`` into the
+    running sum ``acc`` carrying the rounding error in ``comp``.  Gives the
+    partial-sum chain near-fp64 behavior at ~3 extra VPU adds per fold (the
+    folds happen once per column TILE, not per pair, so the inner-loop cost
+    is ~3/tile_j ops/pair — negligible; measured on hardware in
+    benchmarks/drift_study.py).  Safe under XLA: it never reassociates
+    floating-point adds, so the error term is not folded away."""
+    y = val - comp
+    t = acc + y
+    comp = (t - acc) - y
+    return t, comp
+
+
 def _segment_bounds(r0_rel, tile_i: int, tile_j: int, n_tiles):
     """Split ``n_tiles`` column tiles into (below, overlap, above) segments
     relative to a row tile whose BAND-LOCAL index range is
@@ -142,14 +156,17 @@ def _segment_bounds(r0_rel, tile_i: int, tile_j: int, n_tiles):
 
 
 def _make_col_sweep(xi, yi, ri, irel, col_block_read, *, tile_i, tile_j,
-                    biased: bool = True):
+                    biased: bool = True, accum: str = "plain"):
     """Build the 3-segment column sweep over one column block.
 
     ``col_block_read(c0)`` returns (xj, yj, mj, rj) as (1, tile_j) for the
     sub-tile starting at BLOCK-LOCAL lane c0.  ``irel`` ((tile_i, 1) int32)
     holds the row tile's body indices RELATIVE to the column block's global
     start, so overlap-tile bias differences stay exact at any N.  Returns
-    sweep(j1, j2, n_tiles, acc) -> acc applying below/overlap/above.
+    sweep(j1, j2, n_tiles, acc) -> acc applying below/overlap/above, where
+    ``acc`` is (acc_x, acc_y) for accum="plain" or
+    (acc_x, comp_x, acc_y, comp_y) for accum="compensated" (Kahan folds of
+    the per-tile partial sums; see _kahan_add and SimConfig.accum).
 
     ``biased=False`` drops the coincident-pair dx bias entirely (the round-2
     inner loop, ~2 VPU ops/pair cheaper): ONLY correct when the caller has
@@ -158,9 +175,9 @@ def _make_col_sweep(xi, yi, ri, irel, col_block_read, *, tile_i, tile_j,
     """
     dtype = xi.dtype
     cbias, pbias, eps = _consts(dtype)
+    compensated = accum == "compensated"
 
     def pair_tile(c0, acc, bias_of):
-        acc_x, acc_y = acc
         xj, yj, mj, rj = col_block_read(c0)
         dx = (xj - xi) if bias_of is None else (xj - xi) + bias_of(c0)
         dy = yj - yi
@@ -169,9 +186,15 @@ def _make_col_sweep(xi, yi, ri, irel, col_block_read, *, tile_i, tile_j,
         forced = jnp.maximum(dsqr, mind * mind)
         inv = lax.rsqrt(forced * forced * dsqr + eps)
         scale = mj * inv
-        acc_x = acc_x + jnp.sum(scale * dx, axis=1, keepdims=True)
-        acc_y = acc_y + jnp.sum(scale * dy, axis=1, keepdims=True)
-        return acc_x, acc_y
+        px = jnp.sum(scale * dx, axis=1, keepdims=True)
+        py = jnp.sum(scale * dy, axis=1, keepdims=True)
+        if not compensated:
+            acc_x, acc_y = acc
+            return acc_x + px, acc_y + py
+        acc_x, comp_x, acc_y, comp_y = acc
+        acc_x, comp_x = _kahan_add(acc_x, comp_x, px)
+        acc_y, comp_y = _kahan_add(acc_y, comp_y, py)
+        return acc_x, comp_x, acc_y, comp_y
 
     below = functools.partial(
         pair_tile, bias_of=lambda c0: jnp.asarray(-cbias, dtype))
@@ -200,12 +223,23 @@ def _make_col_sweep(xi, yi, ri, irel, col_block_read, *, tile_i, tile_j,
     return sweep if biased else sweep_plain
 
 
+def _acc_init(tile_i: int, dtype, accum: str):
+    z = jnp.zeros((tile_i, 1), dtype)
+    return (z, z, z, z) if accum == "compensated" else (z, z)
+
+
+def _acc_finish(acc):
+    """(acc_x, acc_y) out of either accumulator structure (the Kahan comp
+    terms are already folded into the running sums)."""
+    return (acc[0], acc[2]) if len(acc) == 4 else (acc[0], acc[1])
+
+
 def _force_kernel(rg_ref, cg_ref,
                   xi_ref, yi_ref, mi_ref, ri_ref,
                   xj_ref, yj_ref, mj_ref, rj_ref,
                   xf_ref, yf_ref,
                   *, tile_i: int, tile_j: int, n_cols: int, gravity: float,
-                  biased: bool = True):
+                  biased: bool = True, accum: str = "plain"):
     i = pl.program_id(0)
     row0 = i * tile_i
     dtype = xi_ref.dtype
@@ -224,11 +258,12 @@ def _force_kernel(rg_ref, cg_ref,
                 rj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j))
 
     sweep = _make_col_sweep(xi, yi, ri, irel, col_read,
-                            tile_i=tile_i, tile_j=tile_j, biased=biased)
+                            tile_i=tile_i, tile_j=tile_j, biased=biased,
+                            accum=accum)
     n_tiles = n_cols // tile_j
     j1, j2 = _segment_bounds(r0_rel, tile_i, tile_j, n_tiles)
-    zeros = jnp.zeros((tile_i, 1), dtype)
-    acc_x, acc_y = sweep(j1, j2, n_tiles, (zeros, zeros))
+    acc_x, acc_y = _acc_finish(
+        sweep(j1, j2, n_tiles, _acc_init(tile_i, dtype, accum)))
 
     # Row factor G * m_i applied once after the reduction.
     gmi = mi_ref[0, pl.ds(row0, tile_i)].reshape(tile_i, 1) * gravity
@@ -239,7 +274,8 @@ def _force_kernel(rg_ref, cg_ref,
 def pallas_block_forces(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
                         row_g0=0, col_g0=0,
                         tile_i: int = 1024, tile_j: int = 1024,
-                        interpret: bool = False, biased: bool = True):
+                        interpret: bool = False, biased: bool = True,
+                        accum: str = "plain"):
     """Force of every body in block J on every body in block I (one-sided,
     fast mode).  Block I of size M, block J of size K; block sizes that are
     not tile multiples are padded internally with inert far-away bodies (the
@@ -258,7 +294,7 @@ def pallas_block_forces(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
 
     kernel = functools.partial(
         _force_kernel, tile_i=tile_i, tile_j=tile_j, n_cols=k_pad,
-        gravity=float(cfg.gravity), biased=biased)
+        gravity=float(cfg.gravity), biased=biased, accum=accum)
 
     vec = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -285,9 +321,10 @@ def pallas_block_forces(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
 def _force_kernel_streamed(rg_ref, cg_ref,
                            xi_ref, yi_ref, mi_ref, ri_ref,
                            xj_ref, yj_ref, mj_ref, rj_ref,
-                           xf_ref, yf_ref,
+                           xf_ref, yf_ref, cx_ref=None, cy_ref=None,
                            *, tile_i: int, tile_j: int, band: int,
-                           gravity: float, biased: bool = True):
+                           gravity: float, biased: bool = True,
+                           accum: str = "plain"):
     """Grid-pipelined variant: grid = (row tiles, column bands); Pallas
     streams (1, band) column bands HBM->VMEM with automatic double buffering,
     so the body arrays never need to fit in VMEM (N is unbounded).  Inside
@@ -295,7 +332,11 @@ def _force_kernel_streamed(rg_ref, cg_ref,
     resident kernel (segment bounds relative to the band's global start).
 
     The output block (same row tile for every band) stays resident in VMEM
-    and is the accumulator — the classic revisited-output reduction.
+    and is the accumulator — the classic revisited-output reduction.  With
+    accum="compensated" the cross-band folds are Kahan-compensated through
+    two VMEM scratch buffers (``cx_ref``/``cy_ref``; TPU grids execute
+    sequentially per core, so scratch persists across grid steps), on top of
+    the compensated within-band sweep.
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -316,11 +357,12 @@ def _force_kernel_streamed(rg_ref, cg_ref,
                 rj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j))
 
     sweep = _make_col_sweep(xi, yi, ri, irel, col_read,
-                            tile_i=tile_i, tile_j=tile_j, biased=biased)
+                            tile_i=tile_i, tile_j=tile_j, biased=biased,
+                            accum=accum)
     n_sub = band // tile_j
     j1, j2 = _segment_bounds(r0_rel, tile_i, tile_j, n_sub)
-    zeros = jnp.zeros((tile_i, 1), dtype)
-    fx, fy = sweep(j1, j2, n_sub, (zeros, zeros))
+    fx, fy = _acc_finish(sweep(j1, j2, n_sub,
+                               _acc_init(tile_i, dtype, accum)))
     fx = fx.reshape(1, tile_i)
     fy = fy.reshape(1, tile_i)
 
@@ -328,9 +370,20 @@ def _force_kernel_streamed(rg_ref, cg_ref,
     def _():
         xf_ref[:] = jnp.zeros_like(xf_ref)
         yf_ref[:] = jnp.zeros_like(yf_ref)
+        if accum == "compensated":
+            cx_ref[:] = jnp.zeros_like(cx_ref)
+            cy_ref[:] = jnp.zeros_like(cy_ref)
 
-    xf_ref[:] += fx
-    yf_ref[:] += fy
+    if accum == "compensated":
+        tx, ncx = _kahan_add(xf_ref[:], cx_ref[:], fx)
+        xf_ref[:] = tx
+        cx_ref[:] = ncx
+        ty, ncy = _kahan_add(yf_ref[:], cy_ref[:], fy)
+        yf_ref[:] = ty
+        cy_ref[:] = ncy
+    else:
+        xf_ref[:] += fx
+        yf_ref[:] += fy
 
     @pl.when(j == nj - 1)
     def _():
@@ -344,7 +397,8 @@ def pallas_block_forces_streamed(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
                                  tile_i: int = 512, tile_j: int = 1024,
                                  band: int = 65536,
                                  interpret: bool = False,
-                                 biased: bool = True):
+                                 biased: bool = True,
+                                 accum: str = "plain"):
     """HBM-streaming block forces for N beyond the 128K VMEM-resident limit.
 
     Awkward sizes are padded to tile/band multiples with inert bodies rather
@@ -364,7 +418,7 @@ def pallas_block_forces_streamed(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
 
     kernel = functools.partial(
         _force_kernel_streamed, tile_i=tile_i, tile_j=tile_j, band=band,
-        gravity=float(cfg.gravity), biased=biased)
+        gravity=float(cfg.gravity), biased=biased, accum=accum)
 
     def row_spec():
         return pl.BlockSpec((1, tile_i), lambda i, j: (0, i),
@@ -376,6 +430,11 @@ def pallas_block_forces_streamed(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
+    # Cross-band Kahan compensation lives in VMEM scratch (persists across
+    # the sequentially-executed grid on TPU).
+    scratch = ([pltpu.VMEM((1, tile_i), dtype)] * 2
+               if accum == "compensated" else [])
+
     xf, yf = pl.pallas_call(
         kernel,
         grid=(m // tile_i, k // band),
@@ -385,6 +444,7 @@ def pallas_block_forces_streamed(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
         out_specs=(row_spec(), row_spec()),
         out_shape=(jax.ShapeDtypeStruct((1, m), dtype),
                    jax.ShapeDtypeStruct((1, m), dtype)),
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=17 * m * k, bytes_accessed=(4 * m + 4 * k) * 4,
             transcendentals=m * k),
@@ -403,7 +463,8 @@ _VMEM_RESIDENT_LIMIT = 1 << 17
 def pallas_block_forces_auto(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
                              row_g0=0, col_g0=0,
                              tile_i: int = 1024, tile_j: int = 1024,
-                             interpret: bool = False, biased: bool = True):
+                             interpret: bool = False, biased: bool = True,
+                             accum: str = "plain"):
     """Block forces with automatic VMEM-resident vs HBM-streamed dispatch.
 
     The sharded paths (all-gather columns = all N bodies; grid2d columns =
@@ -414,16 +475,18 @@ def pallas_block_forces_auto(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
     if max(xi.shape[0], xj.shape[0]) > _VMEM_RESIDENT_LIMIT:
         return pallas_block_forces_streamed(
             cfg, xi, yi, mi, ri, xj, yj, mj, rj,
-            row_g0=row_g0, col_g0=col_g0, interpret=interpret, biased=biased)
+            row_g0=row_g0, col_g0=col_g0, interpret=interpret, biased=biased,
+            accum=accum)
     return pallas_block_forces(cfg, xi, yi, mi, ri, xj, yj, mj, rj,
                                row_g0=row_g0, col_g0=col_g0,
                                tile_i=tile_i, tile_j=tile_j,
-                               interpret=interpret, biased=biased)
+                               interpret=interpret, biased=biased,
+                               accum=accum)
 
 
 def pallas_forces(cfg, x, y, mass, radius, *, tile_i: int = 1024,
                   tile_j: int = 1024, interpret: bool = False,
-                  biased: bool = True):
+                  biased: bool = True, accum: str = "plain"):
     """Total pairwise forces (square case) via the Pallas kernel.
 
     Dispatches to the VMEM-resident kernel for small/medium N and the
@@ -434,10 +497,11 @@ def pallas_forces(cfg, x, y, mass, radius, *, tile_i: int = 1024,
         # kernel's tiles are sized for VMEM-resident inputs).
         return pallas_block_forces_streamed(
             cfg, x, y, mass, radius, x, y, mass, radius, interpret=interpret,
-            biased=biased)
+            biased=biased, accum=accum)
     return pallas_block_forces(cfg, x, y, mass, radius, x, y, mass, radius,
                                tile_i=tile_i, tile_j=tile_j,
-                               interpret=interpret, biased=biased)
+                               interpret=interpret, biased=biased,
+                               accum=accum)
 
 
 def any_coincident(x, y, mass):

@@ -147,3 +147,45 @@ def render_frame(cfg: SimConfig, x, y, radius, n_real: int,
     best = lax.map(block, jnp.arange(nblocks)).reshape(nblocks * row_block, w)
     best = best[:h]
     return tint_rgb(best, n_real)
+
+
+def render_frame_hosted(cfg: SimConfig, x, y, radius, n_real: int,
+                        body_chunk: int = 262144, fence=None):
+    """Host-chunked rasterizer for very large N: one device dispatch per
+    body chunk (each a fused min-index reduction over the full frame),
+    merged on the host.  Same pixels as ``render_frame`` — earlier chunks
+    hold smaller global indices, so elementwise min preserves the
+    reference's first-hit-by-index order (display, nbody-seq.c:326-354).
+
+    ``render_frame``'s single-dispatch on-device loop is proven to N=2M on
+    the tunneled TPU (docs/REPORT.md); beyond that one dispatch would run
+    tens of seconds (42.9 s of render work at N=10M), past transports that
+    bound per-dispatch duration — this variant keeps every dispatch at one
+    ~1 s chunk.  ``fence(arr)`` optionally forces per-dispatch completion.
+    Returns a host (ydim, xdim, 3) uint8 array.
+    """
+    import numpy as np
+
+    n = x.shape[0]
+    h, w = cfg.ydim, cfg.xdim
+    ys_all = jnp.arange(h)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def hit_chunk(x, y, radius, b0, k):
+        xs = lax.dynamic_slice_in_dim(x, b0, k)
+        ysb = lax.dynamic_slice_in_dim(y, b0, k)
+        rs = lax.dynamic_slice_in_dim(radius, b0, k)
+        # Mask bodies at/after n_real (sharding padding): radius -1 never
+        # hits.
+        gid = b0 + lax.broadcasted_iota(jnp.int32, (k,), 0)
+        rs = jnp.where(gid < n_real, rs, jnp.asarray(-1.0, rs.dtype))
+        return min_hit_index_rows(xs, ysb, rs, ys_all, w, base_idx=b0)
+
+    best = np.full((h, w), _NO_HIT, np.int64)
+    for b0 in range(0, n, body_chunk):
+        k = min(body_chunk, n - b0)
+        sub = hit_chunk(x, y, radius, jnp.int32(b0), k)
+        if fence is not None:
+            fence(sub)
+        best = np.minimum(best, np.asarray(jax.device_get(sub), np.int64))
+    return np.asarray(tint_rgb(jnp.asarray(best.astype(np.int32)), n_real))

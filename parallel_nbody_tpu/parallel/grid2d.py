@@ -127,7 +127,7 @@ def _grid2d_run_local(cfg: SimConfig, steps: int,
                     row_g0=my_r * row_n,
                     col_g0=(rr_c * pc + my_c) * blk,
                     tile_i=cfg.tile_i, tile_j=cfg.tile_j,
-                    interpret=cfg.pallas_interpret)
+                    interpret=cfg.pallas_interpret, accum=cfg.accum)
                 fx = fx + dfx
                 fy = fy + dfy
         else:

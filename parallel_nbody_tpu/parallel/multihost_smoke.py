@@ -73,8 +73,9 @@ def worker(process_id: int, num_processes: int, port: int) -> None:
                                      lambda idx, a=a: a[idx])
         for a in padded_np))
 
-    def check(arr_state, label):
-        for field, arr, want in zip(State._fields, arr_state, expected):
+    def check(arr_state, label, want_state=None):
+        want_state = expected if want_state is None else want_state
+        for field, arr, want in zip(State._fields, arr_state, want_state):
             for shard in arr.addressable_shards:
                 got = np.asarray(shard.data)
                 ref = want[shard.index]
@@ -88,7 +89,20 @@ def worker(process_id: int, num_processes: int, port: int) -> None:
         jax.block_until_ready(out)
         check(out, "comm=" + comm)
 
-    modes = "allgather+ring"
+    # The distributed runtime x Pallas-kernel composition (VERDICT r3 #6):
+    # same global mesh, force path through the Pallas block kernel (interpret
+    # mode — kernel semantics, CPU-emulated) on both comm strategies,
+    # verified against its own single-device oracle.
+    cfg_p = SimConfig(force_mode="fast", dtype="float64", kernel="pallas",
+                      pallas_interpret=True)
+    expected_p = [np.asarray(a)
+                  for a in jax.device_get(run(cfg_p, padded, STEPS))]
+    for comm in ("allgather", "ring"):
+        out = make_sharded_run(cfg_p, mesh, STEPS, comm)(global_state)
+        jax.block_until_ready(out)
+        check(out, "pallas comm=" + comm, expected_p)
+
+    modes = "allgather+ring+pallas(allgather+ring)"
     if n_global % 2 == 0 and n_global >= 4:
         # 2-D force-matrix decomposition spanning both processes.
         from ..parallel.grid2d import (make_grid2d_run, make_mesh2d,

@@ -65,7 +65,8 @@ def _local_forces_allgather(cfg, x, y, m_blk, r_blk, m_full, r_full):
                 cfg, x, y, m_blk, r_blk, x_full, y_full, m_full, r_full,
                 row_g0=my * shard, col_g0=0,
                 tile_i=cfg.tile_i, tile_j=cfg.tile_j,
-                interpret=cfg.pallas_interpret, biased=biased))
+                interpret=cfg.pallas_interpret, biased=biased,
+                accum=cfg.accum))
     return forces_block_vs_full(cfg, x, y, m_blk, r_blk,
                                 x_full, y_full, m_full, r_full,
                                 my * shard)
@@ -103,7 +104,7 @@ def _local_forces_ring(cfg, x, y, m_blk, r_blk):
                 cfg, x, y, m_blk, r_blk, vx, vy, vm, vr,
                 row_g0=my * shard, col_g0=visit_g0,
                 tile_i=cfg.tile_i, tile_j=cfg.tile_j,
-                interpret=cfg.pallas_interpret)
+                interpret=cfg.pallas_interpret, accum=cfg.accum)
         elif cfg.force_mode == "fast":
             # The fast path masks self-pairs by global index, so s == 0
             # (visiting block == own block) needs no special case.

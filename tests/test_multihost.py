@@ -128,9 +128,12 @@ def test_two_process_distributed_sharded_step():
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=300)
+        out, _ = p.communicate(timeout=600)
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, (
             "worker %d failed:\n%s" % (pid, out[-4000:]))
         assert "MULTIHOST_OK" in out, out[-2000:]
+        # VERDICT r3 #6: the distributed-runtime x Pallas-kernel composition
+        # must be exercised cross-process, not just xla-trig.
+        assert "pallas" in out, out[-2000:]
