@@ -138,3 +138,76 @@ def trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+# Event-name scaffolding that is not XLA op execution (executor bookkeeping,
+# host API waits, thread-pool idling) and umbrella events that CONTAIN op
+# executions (the step loop) — both excluded from the op-time denominator.
+_TRACE_SCAFFOLD = ("thunkexecutor", "block_until_ready", "wait:")
+_TRACE_UMBRELLA = ("while", "fusion_computation", "call")
+# Names marking collective communication (XLA HLO spellings) plus the CPU
+# backend's cross-device rendezvous synchronization.
+_TRACE_COLLECTIVE = ("all_gather", "all-gather", "allgather",
+                     "collective_permute", "collective-permute", "ppermute",
+                     "all_reduce", "all-reduce", "reduce_scatter",
+                     "reduce-scatter", "all_to_all", "all-to-all",
+                     "rendezvous")
+
+
+def trace_comm_share(log_dir: str) -> dict:
+    """Comm share extracted from an actual jax.profiler trace of a sharded
+    program — the async-aware alternative (SURVEY.md §5 comm row) to the
+    comm-only-program estimate of ``measure_comm_fraction``: instead of
+    re-timing the collectives in isolation, read how long the compiled
+    program REALLY spent in them (reference bracket:
+    nbody-par.c:912-918).
+
+    Parses the Chrome-trace json the profiler wrote under ``log_dir``
+    (``plugins/profile/*/*.trace.json.gz``), sums complete-event durations
+    of leaf XLA op executions, and classifies collectives by HLO name
+    (all-gather / collective-permute / all-reduce / reduce-scatter) plus the
+    CPU backend's cross-device Rendezvous sync.  Durations aggregate over
+    every device lane, so the SHARE is meaningful even though the absolute
+    sums exceed wall time.  Returns {"collective_us", "op_us", "share",
+    "by_op": {name: us}}.
+    """
+    import glob
+    import gzip
+    import json
+    import os
+
+    files = glob.glob(os.path.join(log_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not files:
+        raise FileNotFoundError("no *.trace.json.gz under %s" % log_dir)
+    coll_us = 0.0
+    op_us = 0.0
+    by_op: dict = {}
+    for path in files:
+        with gzip.open(path, "rt") as fh:
+            events = json.load(fh).get("traceEvents", [])
+        for e in events:
+            if e.get("ph") != "X" or "dur" not in e:
+                continue
+            name = e.get("name", "")
+            low = name.lower()
+            if any(s in low for s in _TRACE_SCAFFOLD):
+                continue
+            if any(low.startswith(u) for u in _TRACE_UMBRELLA):
+                continue
+            op_us += e["dur"]
+            if any(c in low for c in _TRACE_COLLECTIVE):
+                coll_us += e["dur"]
+                key = name.split(".")[0]
+                by_op[key] = by_op.get(key, 0.0) + e["dur"]
+    return {"collective_us": coll_us, "op_us": op_us,
+            "share": coll_us / op_us if op_us else 0.0, "by_op": by_op}
+
+
+def profile_comm_share(run_fn, state, log_dir: str) -> dict:
+    """Trace one execution of a compiled sharded runner and return its
+    measured comm share (see ``trace_comm_share``)."""
+    with trace(log_dir):
+        out = run_fn(state)
+        jax.block_until_ready(out)
+    return trace_comm_share(log_dir)

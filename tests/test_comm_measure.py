@@ -51,3 +51,25 @@ def test_grid2d_comm_positive():
     padded, _ = pad_state(st, 8)
     padded = shard_state_2d(padded, mesh)
     assert measure_comm_fraction(CFG, mesh, padded, "grid2d") > 0
+
+
+def test_trace_comm_share_extraction(tmp_path):
+    """VERDICT r3 #7: comm share read from a REAL profiler trace of the
+    fused sharded step (not a comm-only re-timing).  The allgather program
+    must show all-gather collective time; the share must be a sane
+    fraction."""
+    from parallel_nbody_tpu.parallel.sharded_step import make_sharded_run
+    from parallel_nbody_tpu.utils.timing import profile_comm_share
+
+    cfg = SimConfig(force_mode="trig", dtype="float64")
+    st = init_state(1024, cfg)
+    padded, _ = pad_state(st, 8)
+    mesh = make_mesh(8)
+    sharded = shard_state(padded, mesh)
+    run = make_sharded_run(cfg, mesh, 3)
+    jax.block_until_ready(run(sharded))  # compile outside the trace
+
+    res = profile_comm_share(run, sharded, str(tmp_path / "trace"))
+    assert res["op_us"] > 0
+    assert 0 < res["share"] < 0.9, res
+    assert any("gather" in k.lower() for k in res["by_op"]), res["by_op"]
