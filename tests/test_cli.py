@@ -386,3 +386,13 @@ def test_frame_cadence_with_slow_steps(tmp_path):
     if rtime >= 6.0:  # guard: on an implausibly fast box the run is too
         # short to discriminate; the unit test above still covers the cap.
         assert frames >= int(rtime / 2.0) - 1, (frames, rtime)
+
+
+def test_install_smoke():
+    """VERDICT r3 #9: pip-install the package (wheel, offline) and run the
+    nbody-tpu console script on the parity config — byte-identical to the
+    module entry point."""
+    r = subprocess.run([os.path.join(REPO, "bin", "install-smoke.sh")],
+                       capture_output=True, text=True, timeout=600, cwd=REPO)
+    assert r.returncode == 0, (r.stdout or "") + (r.stderr or "")
+    assert "INSTALL_SMOKE_OK" in r.stdout
