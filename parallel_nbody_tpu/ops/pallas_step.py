@@ -527,6 +527,24 @@ def any_coincident(x, y, mass):
     return jnp.any(dup)
 
 
+def any_coincident_tagged(x, y, mass, gid):
+    """True iff two bodies with DIFFERENT global ids share a position.
+
+    Generalizes ``any_coincident`` for block collections that may contain
+    MULTIPLE COPIES of the same body — a ring shard testing own+visiting
+    blocks sees itself twice at ring step 0, and grid2d row/col groups
+    overlap — where plain duplicate detection would always fire.  Sorting
+    carries the global id as a tie-break key, so copies of one body land
+    adjacent (equal gid, ignored) while a genuine coincident pair of
+    distinct bodies shows adjacent entries with differing gids.  Signed
+    zeros are normalized as in ``any_coincident``.
+    """
+    xs, ys, gs, ms = lax.sort((x + 0.0, y + 0.0, gid, mass), num_keys=3)
+    dup = ((xs[1:] == xs[:-1]) & (ys[1:] == ys[:-1])
+           & (gs[1:] != gs[:-1]) & (ms[:-1] > 0))
+    return jnp.any(dup)
+
+
 def forces_coincident_dispatch(x, y, mass, call):
     """Runtime biased/unbiased kernel dispatch (shared by models/engine.step
     and the sharded all-gather path): run ``call(biased: bool)`` — which must

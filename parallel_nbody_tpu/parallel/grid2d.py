@@ -115,21 +115,37 @@ def _grid2d_run_local(cfg: SimConfig, steps: int,
             # group is strided (one blk-sized chunk per mesh row), so call
             # the kernel once per contiguous chunk and accumulate.  Each
             # call auto-dispatches to the HBM-streamed kernel above the
-            # VMEM-resident limit.
-            from ..ops.pallas_step import pallas_block_forces_auto
-            fx = jnp.zeros_like(x_row)
-            fy = jnp.zeros_like(y_row)
-            for rr_c in range(pr):
-                sl = slice(rr_c * blk, (rr_c + 1) * blk)
-                dfx, dfy = pallas_block_forces_auto(
-                    cfg, x_row, y_row, m_row, r_row,
-                    x_col[sl], y_col[sl], m_col[sl], r_col[sl],
-                    row_g0=my_r * row_n,
-                    col_g0=(rr_c * pc + my_c) * blk,
-                    tile_i=cfg.tile_i, tile_j=cfg.tile_j,
-                    interpret=cfg.pallas_interpret, accum=cfg.accum)
-                fx = fx + dfx
-                fy = fy + dfy
+            # VMEM-resident limit.  The coincident-pair bias is gated per
+            # step by the gid-tagged duplicate test over row+col groups
+            # (copies of one body appearing in both groups are ignored) —
+            # the grid2d analog of the allgather path's runtime dispatch.
+            from ..ops.pallas_step import (any_coincident_tagged,
+                                           pallas_block_forces_auto)
+
+            def cell_forces(biased):
+                fx = jnp.zeros_like(x_row)
+                fy = jnp.zeros_like(y_row)
+                for rr_c in range(pr):
+                    sl = slice(rr_c * blk, (rr_c + 1) * blk)
+                    dfx, dfy = pallas_block_forces_auto(
+                        cfg, x_row, y_row, m_row, r_row,
+                        x_col[sl], y_col[sl], m_col[sl], r_col[sl],
+                        row_g0=my_r * row_n,
+                        col_g0=(rr_c * pc + my_c) * blk,
+                        tile_i=cfg.tile_i, tile_j=cfg.tile_j,
+                        interpret=cfg.pallas_interpret, accum=cfg.accum,
+                        biased=biased)
+                    fx = fx + dfx
+                    fy = fy + dfy
+                return fx, fy
+
+            flag = any_coincident_tagged(
+                jnp.concatenate([x_row, x_col]),
+                jnp.concatenate([y_row, y_col]),
+                jnp.concatenate([m_row, m_col]),
+                jnp.concatenate([gid_row, gid_col]))
+            fx, fy = lax.cond(flag, lambda _: cell_forces(True),
+                              lambda _: cell_forces(False), None)
         else:
             fx, fy = _block_forces_masked(
                 cfg, x_row, y_row, m_row, r_row, x_col, y_col, m_col, r_col,

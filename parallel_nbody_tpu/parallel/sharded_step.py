@@ -53,9 +53,9 @@ def _local_forces_allgather(cfg, x, y, m_blk, r_blk, m_full, r_full):
         # cheap (O(N log N) vs the O(N^2/P) kernel), so this path gets the
         # same biased/unbiased runtime dispatch as the single-chip engine
         # (every shard computes the identical flag from identical gathered
-        # data — no extra collective).  The ring/grid2d paths never hold
-        # global positions and stay always-biased (~3% slower, same
-        # results).
+        # data — no extra collective).  The ring/grid2d paths dispatch too,
+        # per block pair, via the gid-tagged duplicate test (see
+        # _local_forces_ring and grid2d._local_step).
         from ..ops.pallas_step import (forces_coincident_dispatch,
                                        pallas_block_forces_auto)
 
@@ -86,6 +86,7 @@ def _local_forces_ring(cfg, x, y, m_blk, r_blk):
     shard = x.shape[0]
     my = lax.axis_index(BODY_AXIS)
     perm = [(i, (i - 1) % p) for i in range(p)]  # send left, receive from right
+    gid_own = my * shard + jnp.arange(shard, dtype=jnp.int32)
 
     def body(s, carry):
         vx, vy, vm, vr, xf, yf = carry
@@ -98,13 +99,31 @@ def _local_forces_ring(cfg, x, y, m_blk, r_blk):
             # Self-pairs and coincident pairs are handled intrinsically via
             # the global-index bias (ops/pallas_step.py), so the visiting
             # block needs no own/remote distinction.  auto: streams visiting
-            # blocks above the VMEM-resident limit.
-            from ..ops.pallas_step import pallas_block_forces_auto
-            dxf, dyf = pallas_block_forces_auto(
-                cfg, x, y, m_blk, r_blk, vx, vy, vm, vr,
-                row_g0=my * shard, col_g0=visit_g0,
-                tile_i=cfg.tile_i, tile_j=cfg.tile_j,
-                interpret=cfg.pallas_interpret, accum=cfg.accum)
+            # blocks above the VMEM-resident limit.  The bias machinery is
+            # gated per ring step by an exact own+visiting duplicate test
+            # (tagged by global id, so a block visiting itself at s == 0
+            # does not false-positive) — the ring analog of the allgather
+            # path's runtime dispatch; no collective needed, since each
+            # shard only requires the flag for ITS OWN row block vs the
+            # block it currently holds.
+            from ..ops.pallas_step import (any_coincident_tagged,
+                                           pallas_block_forces_auto)
+
+            def block_call(biased):
+                return pallas_block_forces_auto(
+                    cfg, x, y, m_blk, r_blk, vx, vy, vm, vr,
+                    row_g0=my * shard, col_g0=visit_g0,
+                    tile_i=cfg.tile_i, tile_j=cfg.tile_j,
+                    interpret=cfg.pallas_interpret, accum=cfg.accum,
+                    biased=biased)
+
+            gid_visit = visit_g0 + jnp.arange(shard, dtype=jnp.int32)
+            flag = any_coincident_tagged(
+                jnp.concatenate([x, vx]), jnp.concatenate([y, vy]),
+                jnp.concatenate([m_blk, vm]),
+                jnp.concatenate([gid_own, gid_visit]))
+            dxf, dyf = lax.cond(flag, lambda _: block_call(True),
+                                lambda _: block_call(False), None)
         elif cfg.force_mode == "fast":
             # The fast path masks self-pairs by global index, so s == 0
             # (visiting block == own block) needs no special case.

@@ -246,3 +246,29 @@ def test_any_coincident_signed_zero_not_split_by_sort():
     # unnormalized sort order would be (-0.0,7), (-0.0,9), (+0.0,7),
     # leaving the coincident pair non-adjacent.
     assert bool(any_coincident(x, y, m))
+
+
+def test_any_coincident_tagged_ignores_same_body_copies():
+    """The gid-tagged duplicate test behind the ring/grid2d dispatch: copies
+    of one body (a block visiting itself at ring step 0; grid2d row/col
+    overlap) must NOT flag, genuine distinct-body coincidences must."""
+    from parallel_nbody_tpu.ops.pallas_step import any_coincident_tagged
+    x = jnp.asarray([3.0, 9.0, 3.0, 9.0], jnp.float64)
+    y = jnp.asarray([5.0, 2.0, 5.0, 2.0], jnp.float64)
+    m = jnp.ones(4, jnp.float64)
+    gid = jnp.asarray([0, 1, 0, 1], jnp.int32)  # each body twice
+    assert not bool(any_coincident_tagged(x, y, m, gid))
+    gid2 = jnp.asarray([0, 1, 2, 1], jnp.int32)  # body 2 coincides with 0
+    assert bool(any_coincident_tagged(x, y, m, gid2))
+    # Zero-mass padding sharing a far position never flags.
+    xp = jnp.asarray([1e9, 1e9, 2.0], jnp.float64)
+    yp = jnp.asarray([1e9, 1e9, 3.0], jnp.float64)
+    mp = jnp.asarray([0.0, 0.0, 1.0], jnp.float64)
+    gp = jnp.asarray([5, 6, 0], jnp.int32)
+    assert not bool(any_coincident_tagged(xp, yp, mp, gp))
+    # Signed zeros normalize (same contract as any_coincident).
+    xz = jnp.asarray([-0.0, 0.0, -0.0], jnp.float64)
+    yz = jnp.asarray([7.0, 7.0, 9.0], jnp.float64)
+    mz = jnp.ones(3, jnp.float64)
+    gz = jnp.asarray([0, 1, 2], jnp.int32)
+    assert bool(any_coincident_tagged(xz, yz, mz, gz))
