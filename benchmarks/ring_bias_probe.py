@@ -1,13 +1,13 @@
-"""Price the always-biased ring/grid2d kernels at scale (VERDICT r3 #5).
+"""Price the coincident-pair bias at ring scale (VERDICT r3 #5).
 
-The single-chip and sharded-allgather paths gate the coincident-pair dx-bias
-machinery behind a runtime duplicate test (ops/pallas_step.any_coincident);
-the ppermute-ring and grid2d paths hold no global positions and have so far
-stayed always-biased, with the ~3 % cost asserted from a single-chip N=64K
-measurement.  This probe measures the biased-vs-unbiased delta of the ACTUAL
-kernel the ring path runs (the HBM-streamed block kernel; a P-shard ring
-step is P block calls of N/P rows x N/P visiting columns) at ring-relevant
-sizes on real hardware:
+Round 3 asserted the ring path's always-biased cost (~3 %) from a
+single-chip N=64K measurement; round 4 both (a) measures it properly at
+ring-relevant sizes — this probe — and (b) removed the question's premise by
+gating the bias on the ring/grid2d paths too
+(ops/pallas_step.any_coincident_tagged, per (own, visiting) block pair).
+The probe measures the biased-vs-unbiased delta of the ACTUAL kernel the
+ring path runs (the HBM-streamed block kernel; a P-shard ring step is P
+block calls of N/P rows x N/P visiting columns) on real hardware:
 
   - N=1M square block (single-shard ring shape; 1e12 pairs/call)
   - 128K x 128K block   (the per-ring-step block shape of an 8-shard 1M run)
