@@ -286,6 +286,12 @@ def pallas_block_forces(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
     # Keep the requested tile but never larger than the (lane-aligned) block.
     tile_i = min(tile_i, _round_up(m, 128))
     tile_j = min(tile_j, _round_up(k, 128))
+    if accum == "compensated":
+        # The Kahan carries enlarge the kernel's scoped-VMEM footprint (a
+        # (1024, 1024) tile overflows the 16 MB scoped limit by ~2.2 MB on
+        # v5e); halving the row tile restores headroom at no measured cost
+        # (the tile sweeps are flat across (256..1024, 1024) — REPORT).
+        tile_i = min(tile_i, 512)
     m_pad = _round_up(m, tile_i)
     k_pad = _round_up(k, tile_j)
     xi, yi, mi, ri = _pad_block(xi, yi, mi, ri, m_pad)
