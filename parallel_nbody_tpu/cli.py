@@ -325,7 +325,10 @@ def main(argv=None) -> int:
     # that bound per-dispatch duration — so the step is dispatched in
     # bounded row chunks driven from the host (models.engine.
     # make_hosted_row_step); rendering likewise host-chunks the body axis.
-    huge = not multi and opts["pallas"] and n > 2_000_000
+    # The threshold is env-overridable so tests can drive this path at
+    # CPU-sized N (interpret mode).
+    huge_threshold = int(os.environ.get("NBODY_HUGE_THRESHOLD", 2_000_000))
+    huge = not multi and opts["pallas"] and n > huge_threshold
 
     def _fence(a):
         return jax.device_get(a[:1])
@@ -383,7 +386,7 @@ def main(argv=None) -> int:
         frame_log = os.environ.get("NBODY_FRAME_LOG")
 
         def render_fn(st):
-            if st.n > 2_000_000:
+            if st.n > huge_threshold:
                 frame = render_frame_hosted(cfg, st.x, st.y, st.radius,
                                             n_real, fence=_fence)
             else:

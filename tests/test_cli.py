@@ -396,3 +396,30 @@ def test_install_smoke():
                        capture_output=True, text=True, timeout=600, cwd=REPO)
     assert r.returncode == 0, (r.stdout or "") + (r.stderr or "")
     assert "INSTALL_SMOKE_OK" in r.stdout
+
+
+def test_huge_path_via_cli_matches_fused(tmp_path):
+    """The CLI's huge-N machinery (host-driven row-chunked steps + hosted
+    renderer; the N=10M path, VERDICT r3 #4) driven at CPU size via the
+    env-overridable threshold: results must match the fused path to fp32
+    print precision and a frame must be rendered."""
+    from parallel_nbody_tpu.utils import ppm
+    arena = str(tmp_path / "a.ppm")
+    ppm.create(arena, 128, 96)
+    log = str(tmp_path / "frames.log")
+    fused = run_cli(["300", "0", arena, "2", "--pallas", "--dtype=float32"])
+    hosted = run_cli(["300", "1", arena, "2", "--pallas",
+                      "--dtype=float32"],
+                     env_extra={"NBODY_HUGE_THRESHOLD": "100",
+                                "NBODY_FRAME_LOG": log})
+    assert hosted.returncode == 0, hosted.stderr[-3000:]
+    a = [[float(v) for v in l.split()] for l in fused.stdout.splitlines()]
+    b = [[float(v) for v in l.split()] for l in hosted.stdout.splitlines()]
+    assert len(b) == 300
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-4, atol=2e-3)
+    with open(log) as f:
+        assert sum(1 for _ in f) >= 1  # hosted renderer produced a frame
+    px = ppm.read_pixels(ppm.read_header(arena))
+    assert px.any()
