@@ -63,6 +63,7 @@ def hardware_phase() -> dict:
 
     out = {}
     info = {"device": str(jax.devices()[0]), "timings": {}}
+    print("hw phase: init N=%d" % N, flush=True)
     st0 = init_state(N, _cfg32("plain"))
     for f in ("x", "y", "xv", "yv", "mass", "radius"):
         out["s0_" + f] = np.asarray(getattr(st0, f))
@@ -75,6 +76,7 @@ def hardware_phase() -> dict:
             c, s.x, s.y, s.mass, s.radius, accum=c.accum))(st0)
         out["f0x_" + accum] = np.asarray(fx)[:ORACLE_ROWS]
         out["f0y_" + accum] = np.asarray(fy)[:ORACLE_ROWS]
+        print("forces(%s) done" % accum, flush=True)
 
         # 3. per-step cost: queued chunks, one completion fence, best of 3.
         ex = run.lower(cfg, st0, CHUNK).compile()
