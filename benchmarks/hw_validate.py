@@ -20,6 +20,14 @@ Mosaic-compiled kernels against the CPU fp64 oracle:
           box's one core — so the gate checks the operator on both endpoint
           states instead; the integration ops are shared with case A where
           the full trajectory IS checked.)
+  case D  ring program    — the full ppermute + per-block coincidence
+          dispatch program (make_sharded_run, comm="ring") on a single-chip
+          mesh at N=262144, 20 steps, compared on-device against the fused
+          engine's trajectory (case C's endpoint).  Round-4's one-off check
+          found bit-identity at 3 steps; this makes it a standing gate.
+  case E  grid2d program  — the 2-D force-matrix decomposition
+          (make_grid2d_run, degenerate 1x1 mesh: row/col gathers + psum)
+          at N=262144, 20 steps, same comparison.
   sabotage — case A rerun with gravity sign-flipped must FAIL the same
           tolerances, proving the gate can detect a broken kernel.
 
@@ -124,6 +132,13 @@ def hardware_phase() -> dict:
     import jax
     import numpy as np
 
+    # Honor NBODY_PLATFORM like the CLI does (the JAX_PLATFORMS env var is
+    # ignored by some ambient platform plugins) — lets CI exercise the
+    # skip path deterministically.
+    requested = os.environ.get("NBODY_PLATFORM")
+    if requested:
+        jax.config.update("jax_platforms", requested)
+
     from parallel_nbody_tpu.models.engine import run
     from parallel_nbody_tpu.ops.pallas_step import pallas_forces
     from parallel_nbody_tpu.state import init_state
@@ -176,6 +191,56 @@ def hardware_phase() -> dict:
                                                      time.time() - t0),
           flush=True)
 
+    # --- cases D/E: the parallel PROGRAMS (ring / grid2d) on hardware -----
+    # Both compare against the fused engine's endpoint (endC) directly: the
+    # question is whether the sharded program text — ppermute loop /
+    # row+col gathers + psum, with the per-block coincidence dispatch —
+    # compiles to the same physics on real Mosaic/XLA-TPU, so the oracle is
+    # the hardware fused run itself (no fp64 pass needed; agreement is
+    # expected bit-exact on a 1-device mesh).
+    from parallel_nbody_tpu.parallel.grid2d import (make_grid2d_run,
+                                                    make_mesh2d,
+                                                    shard_state_2d)
+    from parallel_nbody_tpu.parallel.mesh import make_mesh, shard_state
+    from parallel_nbody_tpu.parallel.sharded_step import make_sharded_run
+    from parallel_nbody_tpu.state import pad_state
+
+    parallel_programs = {}
+    padded, _n_real = pad_state(stC, 128)  # N=262144: already aligned
+    ref = {f: np.asarray(getattr(endC, f), np.float64)
+           for f in ("x", "y", "xv", "yv", "xf", "yf")}
+
+    def compare(tag, end):
+        stats = {}
+        ok = True
+        for f, want in ref.items():
+            got = np.asarray(getattr(end, f), np.float64)
+            rel = float((np.abs(got - want) / (np.abs(want) + 1.0)).max())
+            stats[f + "_max_rel"] = rel
+            ok &= rel < 1e-4
+        parallel_programs[tag] = {
+            **stats, "ok": ok,
+            "bit_identical": all(v == 0.0 for v in stats.values())}
+        print("case %s vs fused engine: %s" % (tag, parallel_programs[tag]),
+              flush=True)
+
+    t0 = time.time()
+    mesh1 = make_mesh(1)
+    endD = make_sharded_run(cfg, mesh1, STEPS, "ring")(
+        shard_state(padded, mesh1))
+    jax.device_get(endD.x[:1])
+    print("case D (ring program, N=%d, %d steps) ran in %.1f s"
+          % (N_LARGE, STEPS, time.time() - t0), flush=True)
+    compare("ring", endD)
+
+    t0 = time.time()
+    mesh2 = make_mesh2d(1, 1)
+    endE = make_grid2d_run(cfg, mesh2, STEPS)(shard_state_2d(padded, mesh2))
+    jax.device_get(endE.x[:1])
+    print("case E (grid2d program, N=%d, %d steps) ran in %.1f s"
+          % (N_LARGE, STEPS, time.time() - t0), flush=True)
+    compare("grid2d", endE)
+
     # --- sabotage: gravity sign flip must be caught -----------------------
     t0 = time.time()
     endS = run(cfg.replace(gravity=-cfg.gravity), stA, STEPS)
@@ -184,7 +249,7 @@ def hardware_phase() -> dict:
     print("sabotage case ran in %.1f s" % (time.time() - t0), flush=True)
 
     np.savez(STATE_NPZ, **out)
-    return {**info, "skipped": False}
+    return {**info, "skipped": False, "parallel_programs": parallel_programs}
 
 
 def _err_stats(got, want, kind: str):
@@ -317,6 +382,8 @@ def main() -> int:
     with open("/tmp/hw_validate_verdict.json") as f:
         verdict = json.load(f)
     verdict.update(hw)
+    for prog in hw.get("parallel_programs", {}).values():
+        verdict["ok"] = verdict["ok"] and prog["ok"]
     verdict["when"] = time.strftime("%Y-%m-%d %H:%M:%S")
     with open(OUT_JSON, "w") as f:
         json.dump(verdict, f, indent=2)

@@ -423,3 +423,21 @@ def test_huge_path_via_cli_matches_fused(tmp_path):
         assert sum(1 for _ in f) >= 1  # hosted renderer produced a frame
     px = ppm.read_pixels(ppm.read_header(arena))
     assert px.any()
+
+
+def test_hw_validate_gate_skips_cleanly_off_tpu():
+    """The on-hardware gate (benchmarks/hw_validate.py) must stay runnable:
+    off-TPU it reports {"skipped": true} and exits 0, so a broken import or
+    API drift in the gate is caught by the suite, not on bench day."""
+    import json
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["NBODY_PLATFORM"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks", "hw_validate.py")],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300)
+    assert r.returncode == 0, r.stderr[-3000:]
+    info = json.loads(r.stdout.splitlines()[-1])
+    assert info["skipped"] is True
+    assert info["backend"] == "cpu"
