@@ -30,7 +30,7 @@ from parallel_nbody_tpu.ops.integrate import (compute_positions,
                                               compute_velocities)
 from parallel_nbody_tpu.ops.pallas_step import (any_coincident,
                                                 pallas_block_forces_streamed)
-from parallel_nbody_tpu.ops.render import (_NO_HIT, min_hit_index_rows,
+from parallel_nbody_tpu.ops.render import (_NO_HIT, _hosted_hit_chunk,
                                            tint_rgb)
 from parallel_nbody_tpu.state import random_state
 from parallel_nbody_tpu.utils import ppm
@@ -96,18 +96,11 @@ def main() -> int:
     t0 = time.time()
     body_chunk = 250_000
     radius = st.radius
-    ys_all = jnp.arange(cfg.ydim)
-
-    @jax.jit
-    def hit_chunk(x, y, radius, b0):
-        xs = jax.lax.dynamic_slice_in_dim(x, b0, body_chunk)
-        ysb = jax.lax.dynamic_slice_in_dim(y, b0, body_chunk)
-        rs = jax.lax.dynamic_slice_in_dim(radius, b0, body_chunk)
-        return min_hit_index_rows(xs, ysb, rs, ys_all, cfg.xdim, base_idx=b0)
 
     best = np.full((cfg.ydim, cfg.xdim), _NO_HIT, np.int64)
     for b0 in range(0, n, body_chunk):
-        sub = hit_chunk(x, y, radius, b0)
+        sub = _hosted_hit_chunk(x, y, radius, jnp.int32(n), jnp.int32(b0),
+                                body_chunk, cfg.ydim, cfg.xdim)
         best = np.minimum(best, np.asarray(jax.device_get(sub), np.int64))
         if (b0 // body_chunk) % 10 == 9:
             print("  render %d/%d (%.1f s elapsed)"

@@ -373,12 +373,21 @@ def main() -> int:
         return 0
 
     # Oracle in a subprocess: it needs float64 (process-global setting).
+    # Remove any stale verdict first and require a clean exit — otherwise an
+    # oracle crash could silently re-use a previous run's verdict and print
+    # a false PASS.
+    if os.path.exists("/tmp/hw_validate_verdict.json"):
+        os.remove("/tmp/hw_validate_verdict.json")
     env = dict(os.environ)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--oracle"],
         env=env, timeout=3600)
+    if proc.returncode not in (0, 1):  # 1 = ran and judged FAIL; else crash
+        print("HW_VALIDATE ERROR: oracle subprocess exited %d"
+              % proc.returncode)
+        return 2
     with open("/tmp/hw_validate_verdict.json") as f:
         verdict = json.load(f)
     verdict.update(hw)

@@ -426,9 +426,13 @@ def main(argv=None) -> int:
         # the timed region — and cap the chunk so the between-dispatch check
         # runs at least about every ``secsup`` seconds.
         probe = compile_chunk(1)
-        jax.block_until_ready(probe(state))  # separate warm-up dispatch
+        # _fence (a one-element readback), NOT block_until_ready: tunneled
+        # transports return from block_until_ready before device work
+        # completes, which would make per_step measure dispatch-queue time
+        # and defeat the cadence cap (see the fence note below).
+        _fence(probe(state).x)  # separate warm-up dispatch
         t_probe = time.time()
-        jax.block_until_ready(probe(state))
+        _fence(probe(state).x)
         chunk = min(chunk, cadence_chunk_cap(secsup, time.time() - t_probe))
     if remaining > 0:
         if chunked:
@@ -454,9 +458,12 @@ def main(argv=None) -> int:
                 # async, so without it the loop queues every chunk in
                 # milliseconds and the wall-clock test fires at most once —
                 # the reference's cadence (nbody-seq.c:467-471) is measured
-                # against completed simulation work.  (--chunk-steps without
-                # rendering keeps the faster queued-dispatch pattern.)
-                jax.block_until_ready(state)
+                # against completed simulation work.  Must be the readback
+                # fence: on tunneled transports block_until_ready returns
+                # early, which would reintroduce the queued-dispatch bug.
+                # (--chunk-steps without rendering keeps the faster
+                # queued-dispatch pattern.)
+                _fence(state.x)
                 if time.time() - lastup > secsup:
                     render_fn(state)
                     lastup = time.time()

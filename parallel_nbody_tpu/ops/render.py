@@ -168,24 +168,36 @@ def render_frame_hosted(cfg: SimConfig, x, y, radius, n_real: int,
 
     n = x.shape[0]
     h, w = cfg.ydim, cfg.xdim
-    ys_all = jnp.arange(h)
-
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def hit_chunk(x, y, radius, b0, k):
-        xs = lax.dynamic_slice_in_dim(x, b0, k)
-        ysb = lax.dynamic_slice_in_dim(y, b0, k)
-        rs = lax.dynamic_slice_in_dim(radius, b0, k)
-        # Mask bodies at/after n_real (sharding padding): radius -1 never
-        # hits.
-        gid = b0 + lax.broadcasted_iota(jnp.int32, (k,), 0)
-        rs = jnp.where(gid < n_real, rs, jnp.asarray(-1.0, rs.dtype))
-        return min_hit_index_rows(xs, ysb, rs, ys_all, w, base_idx=b0)
 
     best = np.full((h, w), _NO_HIT, np.int64)
     for b0 in range(0, n, body_chunk):
         k = min(body_chunk, n - b0)
-        sub = hit_chunk(x, y, radius, jnp.int32(b0), k)
+        sub = _hosted_hit_chunk(x, y, radius, jnp.int32(n_real),
+                                jnp.int32(b0), k, h, w)
         if fence is not None:
             fence(sub)
         best = np.minimum(best, np.asarray(jax.device_get(sub), np.int64))
     return np.asarray(tint_rgb(jnp.asarray(best.astype(np.int32)), n_real))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "h", "w", "row_block"))
+def _hosted_hit_chunk(x, y, radius, n_real, b0, k, h, w, row_block=32):
+    """One body-chunk's (h, w) min-hit map.  Module-level jit so repeated
+    frames reuse the compiled program instead of re-tracing per call, and
+    rows are processed in ``row_block`` blocks so the (k, rows, w) hit
+    intermediate stays bounded regardless of XLA's fusion choices — the
+    same invariants render_frame keeps."""
+    xs = lax.dynamic_slice_in_dim(x, b0, k)
+    ysb = lax.dynamic_slice_in_dim(y, b0, k)
+    rs = lax.dynamic_slice_in_dim(radius, b0, k)
+    # Mask bodies at/after n_real (sharding padding): radius -1 never hits.
+    gid = b0 + lax.broadcasted_iota(jnp.int32, (k,), 0)
+    rs = jnp.where(gid < n_real, rs, jnp.asarray(-1.0, rs.dtype))
+    nblocks = -(-h // row_block)
+
+    def block(i):
+        ys = i * row_block + jnp.arange(row_block)
+        return min_hit_index_rows(xs, ysb, rs, ys, w, base_idx=b0)
+
+    best = lax.map(block, jnp.arange(nblocks)).reshape(nblocks * row_block, w)
+    return best[:h]

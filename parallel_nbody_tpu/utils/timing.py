@@ -141,10 +141,16 @@ def trace(log_dir: str):
 
 
 # Event-name scaffolding that is not XLA op execution (executor bookkeeping,
-# host API waits, thread-pool idling) and umbrella events that CONTAIN op
-# executions (the step loop) — both excluded from the op-time denominator.
-_TRACE_SCAFFOLD = ("thunkexecutor", "block_until_ready", "wait:")
-_TRACE_UMBRELLA = ("while", "fusion_computation", "call")
+# host API waits, thread-pool idling, python TraceMe frames spelled
+# "$file.py:line fn") and umbrella events that CONTAIN op executions (the
+# step loop, lax.cond branches, jit entry spans) — both excluded from the
+# op-time denominator, else their duration double-counts the leaf ops they
+# wrap (observed: a sharded-ring trace carries conditional.* spans from the
+# coincidence dispatch covering ~92 s of already-counted fusion time).
+_TRACE_SCAFFOLD = ("thunkexecutor", "block_until_ready", "wait:", "wait for",
+                   "$")
+_TRACE_UMBRELLA = ("while", "conditional", "fusion_computation", "call",
+                   "jit_", "jit(", "pjitfunction", "body", "cond_")
 # Names marking collective communication (XLA HLO spellings) plus the CPU
 # backend's cross-device rendezvous synchronization.
 _TRACE_COLLECTIVE = ("all_gather", "all-gather", "allgather",

@@ -73,3 +73,41 @@ def test_trace_comm_share_extraction(tmp_path):
     assert res["op_us"] > 0
     assert 0 < res["share"] < 0.9, res
     assert any("gather" in k.lower() for k in res["by_op"]), res["by_op"]
+
+
+def test_trace_comm_share_excludes_umbrella_spans(tmp_path):
+    """Umbrella spans (while/conditional/jit entry) CONTAIN the leaf op
+    executions; counting them would double the op-time denominator and
+    deflate the share.  Synthetic trace: one 100us fusion + one 10us
+    ppermute, wrapped by a 110us conditional, a 110us while, a 110us
+    jit_run span and python TraceMe frames — share must come out
+    10/110, not 10/440."""
+    import gzip
+    import json
+
+    from parallel_nbody_tpu.utils.timing import trace_comm_share
+
+    events = [
+        {"ph": "X", "name": "while.3", "dur": 110.0, "ts": 0},
+        {"ph": "X", "name": "conditional.6", "dur": 110.0, "ts": 0},
+        {"ph": "X", "name": "jit_run_sharded", "dur": 110.0, "ts": 0},
+        {"ph": "X", "name": "PjitFunction(run_sharded)", "dur": 110.0,
+         "ts": 0},
+        {"ph": "X", "name": "$api.py:3097 block_until_ready", "dur": 110.0,
+         "ts": 0},
+        {"ph": "X", "name": "$timing.py:132 trace", "dur": 110.0, "ts": 0},
+        {"ph": "X", "name": "Wait for rendezvous callback", "dur": 50.0,
+         "ts": 0},
+        {"ph": "X", "name": "ThunkExecutor::Execute", "dur": 110.0, "ts": 0},
+        {"ph": "X", "name": "subtract_atan2_fusion", "dur": 100.0, "ts": 0},
+        {"ph": "X", "name": "ppermute.37", "dur": 10.0, "ts": 0},
+    ]
+    d = tmp_path / "plugins" / "profile" / "x"
+    d.mkdir(parents=True)
+    with gzip.open(str(d / "vm.trace.json.gz"), "wt") as fh:
+        json.dump({"traceEvents": events}, fh)
+
+    res = trace_comm_share(str(tmp_path))
+    assert res["op_us"] == 110.0, res
+    assert res["collective_us"] == 10.0, res
+    assert abs(res["share"] - 10.0 / 110.0) < 1e-12, res
