@@ -441,3 +441,25 @@ def test_hw_validate_gate_skips_cleanly_off_tpu():
     info = json.loads(r.stdout.splitlines()[-1])
     assert info["skipped"] is True
     assert info["backend"] == "cpu"
+
+
+def test_frame_rendering_with_secsup_sharded(tmp_path):
+    """secsup>0 on a SHARDED run: the per-chunk readback fence and the
+    renderer both consume a device-sharded state (state.x[:1] readback
+    outside jit triggers a cross-shard gather) — must not crash, must
+    render, and stdout must stay byte-invariant vs single-device."""
+    from parallel_nbody_tpu.utils import ppm
+    p1 = str(tmp_path / "a.ppm")
+    p4 = str(tmp_path / "b.ppm")
+    ppm.create(p1, 256, 192)
+    ppm.create(p4, 256, 192)
+    log = str(tmp_path / "frames.log")
+    single = run_cli(["64", "0", p1, "400"])
+    sharded = run_cli(["64", "1", p4, "400", "--devices=4"],
+                      env_extra={"NBODY_FRAME_LOG": log})
+    assert sharded.returncode == 0, sharded.stderr[-3000:]
+    assert sharded.stdout == single.stdout
+    with open(log) as f:
+        assert sum(1 for _ in f) >= 1
+    px = ppm.read_pixels(ppm.read_header(p4))
+    assert px.any()
