@@ -106,7 +106,7 @@ def parse_args(argv):
         "devices": None, "comm": "allgather", "fast": False, "pallas": False,
         "dtype": None, "no_clamp": False, "checkpoint": None, "resume": None,
         "check_nans": False, "mesh2d": None, "chunk_steps": None,
-        "xps_precise": False, "accum": "plain",
+        "xps_precise": False, "accum": "plain", "trace": None,
     }
     for a in argv[5:]:
         if a == "--run-xps":
@@ -154,6 +154,12 @@ def parse_args(argv):
             except ValueError:
                 sys.stderr.write("Bad --chunk-steps value (expected an "
                                  "integer >= 1): %s\n" % a)
+                sys.exit(1)
+        elif a.startswith("--trace="):
+            opts["trace"] = a.split("=", 1)[1]
+            if not opts["trace"]:
+                sys.stderr.write("Bad --trace value (expected a directory "
+                                 "path): %s\n" % a)
                 sys.exit(1)
         elif a == "--xps-precise":
             opts["xps_precise"] = True
@@ -442,6 +448,17 @@ def main(argv=None) -> int:
         else:
             compile_chunk(remaining)
 
+    # --trace=DIR: wrap the timed region in a jax.profiler trace (the
+    # deep-profiling path the reference lacks, SURVEY.md §5) and report the
+    # trace-derived collective share afterwards.  Profiling overhead lands
+    # inside the timed region by nature; use untraced runs for headline
+    # timing.
+    tracer = None
+    if opts["trace"] and jax.process_index() == 0:
+        from .utils.timing import trace as trace_ctx
+        tracer = trace_ctx(opts["trace"])
+        tracer.__enter__()
+
     t0 = time.time()
     if chunked and remaining > 0:
         # Host-chunked loop: wall-clock-driven frame updates (reference
@@ -476,6 +493,18 @@ def main(argv=None) -> int:
         # readback is a true completion fence (see docs/REPORT.md).
         jax.device_get(state.x[:1])
     rtime = time.time() - t0
+    if tracer is not None:
+        tracer.__exit__(None, None, None)
+        try:
+            from .utils.timing import trace_comm_share
+            ts = trace_comm_share(opts["trace"])
+            sys.stderr.write(
+                "Trace: op time %.3f s, collectives %.3f s (%.2f%% share) "
+                "-> %s\n" % (ts["op_us"] / 1e6, ts["collective_us"] / 1e6,
+                             100.0 * ts["share"], opts["trace"]))
+        except Exception as e:  # a missing/odd trace must not kill the run
+            sys.stderr.write("Trace written to %s (share extraction "
+                             "failed: %s)\n" % (opts["trace"], e))
     comm_time = comm_time_per_step * remaining
 
     # Throughput accounting covers only the steps actually executed (with

@@ -463,3 +463,25 @@ def test_frame_rendering_with_secsup_sharded(tmp_path):
         assert sum(1 for _ in f) >= 1
     px = ppm.read_pixels(ppm.read_header(p4))
     assert px.any()
+
+
+def test_trace_flag_writes_profile_and_reports_share(arena, tmp_path):
+    """--trace=DIR wraps the timed loop in a jax.profiler trace and reports
+    the trace-derived collective share on stderr (the async-aware comm
+    measurement, SURVEY.md §5) without altering stdout parity."""
+    d = str(tmp_path / "trace")
+    plain = run_cli(["32", "0", arena, "20", "--devices=4"])
+    traced = run_cli(["32", "0", arena, "20", "--devices=4",
+                      "--trace=" + d])
+    assert traced.returncode == 0, traced.stderr[-3000:]
+    assert traced.stdout == plain.stdout
+    assert "Trace: op time" in traced.stderr, traced.stderr[-3000:]
+    import glob
+    assert glob.glob(os.path.join(d, "**", "*.trace.json.gz"),
+                     recursive=True)
+
+
+def test_trace_flag_empty_value_rejected(arena):
+    r = run_cli(["16", "0", arena, "1", "--trace="])
+    assert r.returncode == 1
+    assert "Bad --trace value" in r.stderr
