@@ -20,6 +20,9 @@ Mosaic-compiled kernels against the CPU fp64 oracle:
           box's one core — so the gate checks the operator on both endpoint
           states instead; the integration ops are shared with case A where
           the full trajectory IS checked.)
+  case F  compensated accumulation — case A rerun with
+          ``accum="compensated"`` (the Kahan option, BASELINE config 3):
+          the compensated Mosaic kernels must meet the same tolerances.
   case D  ring program    — the full ppermute + per-block coincidence
           dispatch program (make_sharded_run, comm="ring") on a single-chip
           mesh at N=262144, 20 steps, compared on-device against the fused
@@ -161,6 +164,14 @@ def hardware_phase() -> dict:
     print("case A (resident, N=%d, %d steps) ran in %.1f s"
           % (N_SMALL, STEPS, time.time() - t0), flush=True)
 
+    # --- case F: compensated (Kahan) accumulation, same trajectory --------
+    t0 = time.time()
+    endF = run(cfg.replace(accum="compensated"), stA, STEPS)
+    out["F_x"], out["F_y"], out["F_xv"], out["F_yv"] = _fetch(
+        endF.x, endF.y, endF.xv, endF.yv)
+    print("case F (compensated accum) ran in %.1f s" % (time.time() - t0),
+          flush=True)
+
     # --- case B: streamed kernel forced small-band ------------------------
     t0 = time.time()
     runB = make_streamed_run(cfg, STEPS, band=1024, tile=512)
@@ -191,7 +202,7 @@ def hardware_phase() -> dict:
                                                      time.time() - t0),
           flush=True)
 
-    # --- cases D/E: the parallel PROGRAMS (ring / grid2d) on hardware -----
+    # --- cases D/E: the parallel PROGRAMS (allgather / ring / grid2d) -----
     # Both compare against the fused engine's endpoint (endC) directly: the
     # question is whether the sharded program text — ppermute loop /
     # row+col gathers + psum, with the per-block coincidence dispatch —
@@ -224,14 +235,15 @@ def hardware_phase() -> dict:
         print("case %s vs fused engine: %s" % (tag, parallel_programs[tag]),
               flush=True)
 
-    t0 = time.time()
     mesh1 = make_mesh(1)
-    endD = make_sharded_run(cfg, mesh1, STEPS, "ring")(
-        shard_state(padded, mesh1))
-    jax.device_get(endD.x[:1])
-    print("case D (ring program, N=%d, %d steps) ran in %.1f s"
-          % (N_LARGE, STEPS, time.time() - t0), flush=True)
-    compare("ring", endD)
+    for comm in ("ring", "allgather"):
+        t0 = time.time()
+        endD = make_sharded_run(cfg, mesh1, STEPS, comm)(
+            shard_state(padded, mesh1))
+        jax.device_get(endD.x[:1])
+        print("case D (%s program, N=%d, %d steps) ran in %.1f s"
+              % (comm, N_LARGE, STEPS, time.time() - t0), flush=True)
+        compare(comm, endD)
 
     t0 = time.time()
     mesh2 = make_mesh2d(1, 1)
@@ -287,7 +299,7 @@ def oracle_phase() -> dict:
     print("oracle trajectory (N=%d, %d steps fp64) in %.1f s"
           % (N_SMALL, STEPS, time.time() - t0), flush=True)
 
-    for case in ("A", "B"):
+    for case in ("A", "B", "F"):
         pos_abs = max(_err_stats(z[case + "_x"], end.x, "pos")[0],
                       _err_stats(z[case + "_y"], end.y, "pos")[0])
         sx = _err_stats(z[case + "_xv"], end.xv, "vel")

@@ -118,3 +118,26 @@ def test_compensated_streamed_matches_resident():
     for a, b in zip(fr, fs):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-3)
+
+
+def test_accum_option_reaches_kernel_through_engine(monkeypatch):
+    """cfg.accum must actually arrive at the Pallas kernel through
+    engine.step's dispatch.  The agreement test above cannot catch a
+    dropped kwarg (plain==compensated on normal states), so assert the
+    plumbing positively with a spy."""
+    from parallel_nbody_tpu.models import engine
+    from parallel_nbody_tpu.ops import pallas_step
+
+    seen = []
+    orig = pallas_step.pallas_forces
+
+    def spy(cfg, *a, **kw):
+        seen.append(kw.get("accum", "MISSING"))
+        return orig(cfg, *a, **kw)
+
+    # engine.step imports the symbol lazily from ops.pallas_step, so patch
+    # the source module.
+    monkeypatch.setattr(pallas_step, "pallas_forces", spy)
+    cfg = CFG32.replace(accum="compensated")
+    engine.step(cfg, init_state(128, cfg))
+    assert set(seen) == {"compensated"}, seen
