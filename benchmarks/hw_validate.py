@@ -121,7 +121,7 @@ def make_streamed_run(cfg, steps: int, band: int, tile: int):
                 s.x, s.y, s.mass, s.radius,
                 tile_i=tile, tile_j=tile, band=band, biased=biased))
         xv, yv = compute_velocities(cfg, s.xv, s.yv, xf, yf, s.mass)
-        x, y, xv, yv = compute_positions(cfg, s.x, s.y, xv, yv)
+        x, y, xv, yv = compute_positions(cfg, s.x, s.y, xv, yv, mass=s.mass)
         return State(x, y, xv, yv, xf, yf, s.mass, s.radius)
 
     @jax.jit

@@ -45,7 +45,8 @@ def step(cfg: SimConfig, state: State) -> State:
         xf, yf = compute_forces_dense(cfg, state.x, state.y, state.mass,
                                       state.radius)
     xv, yv = compute_velocities(cfg, state.xv, state.yv, xf, yf, state.mass)
-    x, y, xv, yv = compute_positions(cfg, state.x, state.y, xv, yv)
+    x, y, xv, yv = compute_positions(cfg, state.x, state.y, xv, yv,
+                                     mass=state.mass)
     return State(x, y, xv, yv, xf, yf, state.mass, state.radius)
 
 
@@ -118,7 +119,8 @@ def make_hosted_row_step(cfg: SimConfig, n: int, row_chunk: int = 524288):
     @jax.jit
     def integrate(st, xf, yf):
         xv, yv = compute_velocities(cfg, st.xv, st.yv, xf, yf, st.mass)
-        x, y, xv, yv = compute_positions(cfg, st.x, st.y, xv, yv)
+        x, y, xv, yv = compute_positions(cfg, st.x, st.y, xv, yv,
+                                         mass=st.mass)
         return State(x, y, xv, yv, xf, yf, st.mass, st.radius)
 
     coincident = jax.jit(any_coincident)

@@ -36,8 +36,18 @@ def compute_velocities(cfg: SimConfig, xv, yv, xf, yf, mass):
     return xv + fx * inv_m * cfg.dt, yv + fy * inv_m * cfg.dt
 
 
-def compute_positions(cfg: SimConfig, x, y, xv, yv):
-    """Returns (x_new, y_new, xv_new, yv_new) after the wall bounce."""
+def compute_positions(cfg: SimConfig, x, y, xv, yv, mass=None):
+    """Returns (x_new, y_new, xv_new, yv_new) after the wall bounce.
+
+    Pass ``mass`` on PADDED states (pad_state): zero-mass padding rows are
+    frozen in place.  Without it the wall clamp would drag the far-away
+    padding (parked at 1e9 so it can never couple to real bodies) into the
+    arena corner on the first step — physically harmless (padding is
+    massless), but it breaks the documented stays-far-outside invariant and
+    can make a real body that bounces into the exact corner pixel
+    position-coincident with padding.  For unpadded states the extra select
+    is a no-op (every mass > 0) and bit-parity is unaffected.
+    """
     dtype = x.dtype
     xn = x + xv * cfg.dt
     yn = y + yv * cfg.dt
@@ -46,12 +56,19 @@ def compute_positions(cfg: SimConfig, x, y, xv, yv):
     hi_x = xn >= cfg.xdim
     xn = jnp.where(lo_x, jnp.zeros((), dtype),
                    jnp.where(hi_x, jnp.asarray(cfg.xdim - 1, dtype), xn))
-    xv = jnp.where(lo_x | hi_x, -xv, xv)
+    xvn = jnp.where(lo_x | hi_x, -xv, xv)
 
     lo_y = yn < 0
     hi_y = yn >= cfg.ydim
     yn = jnp.where(lo_y, jnp.zeros((), dtype),
                    jnp.where(hi_y, jnp.asarray(cfg.ydim - 1, dtype), yn))
-    yv = jnp.where(lo_y | hi_y, -yv, yv)
+    yvn = jnp.where(lo_y | hi_y, -yv, yv)
 
-    return xn, yn, xv, yv
+    if mass is not None:
+        real = mass > 0
+        xn = jnp.where(real, xn, x)
+        yn = jnp.where(real, yn, y)
+        xvn = jnp.where(real, xvn, xv)
+        yvn = jnp.where(real, yvn, yv)
+
+    return xn, yn, xvn, yvn

@@ -546,8 +546,12 @@ def any_coincident_tagged(x, y, mass, gid):
     zeros are normalized as in ``any_coincident``.
     """
     xs, ys, gs, ms = lax.sort((x + 0.0, y + 0.0, gid, mass), num_keys=3)
+    # BOTH masses must be positive: with gid (not mass) as the tie-break
+    # key, a massive body can sort before a massless one at an equal
+    # position, so checking only ms[:-1] would let zero-mass padding fake a
+    # pair with a real body sharing its coordinates.
     dup = ((xs[1:] == xs[:-1]) & (ys[1:] == ys[:-1])
-           & (gs[1:] != gs[:-1]) & (ms[:-1] > 0))
+           & (gs[1:] != gs[:-1]) & (ms[:-1] > 0) & (ms[1:] > 0))
     return jnp.any(dup)
 
 

@@ -159,7 +159,7 @@ def _grid2d_run_local(cfg: SimConfig, steps: int,
         yf = lax.dynamic_slice_in_dim(fy, my_c * blk, blk)
 
         xv, yv = compute_velocities(cfg, xv, yv, xf, yf, m)
-        x, y, xv, yv = compute_positions(cfg, x, y, xv, yv)
+        x, y, xv, yv = compute_positions(cfg, x, y, xv, yv, mass=m)
         return x, y, xv, yv, xf, yf
 
     x, y, xv, yv, xf, yf = lax.fori_loop(

@@ -174,7 +174,7 @@ def _sharded_run_local(cfg: SimConfig, steps: int, comm: str,
         else:
             xf, yf = _local_forces_ring(cfg, x, y, m, r)
         xv, yv = compute_velocities(cfg, xv, yv, xf, yf, m)
-        x, y, xv, yv = compute_positions(cfg, x, y, xv, yv)
+        x, y, xv, yv = compute_positions(cfg, x, y, xv, yv, mass=m)
         return x, y, xv, yv, xf, yf
 
     x, y, xv, yv, xf, yf = lax.fori_loop(

@@ -84,3 +84,20 @@ def test_padding_bodies_stay_inert():
     assert n_real == 10
     np.testing.assert_array_equal(np.asarray(out.mass[n_real:]), 0.0)
     np.testing.assert_array_equal(np.asarray(out.xv[n_real:]), 0.0)
+    # Padding must stay PARKED far outside the arena (state.py pad_state
+    # invariant): without the mass-gated freeze in compute_positions the
+    # wall clamp would drag it to the (xdim-1, ydim-1) corner on step 1,
+    # where it can alias a really-bounced body in the coincidence detectors.
+    np.testing.assert_array_equal(np.asarray(out.x[n_real:]), 1e9)
+    np.testing.assert_array_equal(np.asarray(out.y[n_real:]), 1e9)
+
+
+@pytest.mark.parametrize("comm", ["ring"])
+def test_padding_stays_parked_ring(comm):
+    mesh = make_mesh(4)
+    st = init_state(10, CFG)  # pads 10 -> 12
+    padded, n_real = pad_state(st, 4)
+    padded = shard_state(padded, mesh)
+    out = jax.device_get(make_sharded_run(CFG, mesh, 20, comm)(padded))
+    np.testing.assert_array_equal(np.asarray(out.x[n_real:]), 1e9)
+    np.testing.assert_array_equal(np.asarray(out.y[n_real:]), 1e9)
