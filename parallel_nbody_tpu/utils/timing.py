@@ -27,7 +27,7 @@ def measure_comm_fraction(cfg: SimConfig, mesh, state, comm: str,
     """Per-step communication time (seconds) of the sharded step's collective.
 
     Times a jitted loop containing only the per-step collective (positional
-    all-gather, the full ppermute ring, or the grid2d row/col exchange +
+    all-gather, the (p-1)-hop packed ppermute ring, or the grid2d row/col exchange +
     psum) over the same sharded arrays.
     """
     if comm == "grid2d":
@@ -53,12 +53,14 @@ def measure_comm_fraction(cfg: SimConfig, mesh, state, comm: str,
                 p = lax.axis_size(BODY_AXIS)
                 perm = [(i, (i - 1) % p) for i in range(p)]
 
-                def ring(_, c):
-                    vx, vy = c
-                    return (lax.ppermute(vx, BODY_AXIS, perm),
-                            lax.ppermute(vy, BODY_AXIS, perm))
+                # Mirror the real ring's traffic shape (sharded_step.py):
+                # p-1 hops, each ONE packed (4, shard) ppermute carrying
+                # x/y/mass/radius of the visiting block.
+                def ring(_, vb):
+                    return lax.ppermute(vb, BODY_AXIS, perm)
 
-                x, y = lax.fori_loop(0, p, ring, (x, y))
+                vb = lax.fori_loop(0, p - 1, ring, jnp.stack([x, y, x, y]))
+                x, y = vb[0], vb[1]
             return x, y
 
         return lax.fori_loop(0, iters, body, (x, y))
