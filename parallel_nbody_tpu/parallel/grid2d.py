@@ -39,6 +39,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import SimConfig
 from ..ops.integrate import compute_positions, compute_velocities
 from ..state import State
+from .mesh import device_grid, shard_state
 
 ROW_AXIS = "rows"
 COL_AXIS = "cols"
@@ -48,7 +49,8 @@ _SPEC = P((ROW_AXIS, COL_AXIS))
 
 def make_mesh2d(pr: int, pc: int, devices=None) -> Mesh:
     """(pr, pc) mesh over ("rows", "cols").  Strict about device counts
-    (same policy as mesh.make_mesh)."""
+    (same policy as mesh.make_mesh); axes are ICI-adjacent where the
+    physical topology allows (mesh.device_grid)."""
     if devices is None:
         devices = jax.devices()
     need = pr * pc
@@ -56,8 +58,7 @@ def make_mesh2d(pr: int, pc: int, devices=None) -> Mesh:
         raise ValueError(
             "requested a %dx%d mesh (%d devices) but only %d device(s) are "
             "available" % (pr, pc, need, len(devices)))
-    return Mesh(np.asarray(devices[:need]).reshape(pr, pc),
-                (ROW_AXIS, COL_AXIS))
+    return Mesh(device_grid((pr, pc), devices[:need]), (ROW_AXIS, COL_AXIS))
 
 
 def body_sharding_2d(mesh: Mesh) -> NamedSharding:
@@ -184,11 +185,4 @@ def make_grid2d_run(cfg: SimConfig, mesh: Mesh, steps: int):
 
 def shard_state_2d(state: State, mesh: Mesh) -> State:
     """Place the state body-sharded over the flattened 2-D mesh."""
-    sh = body_sharding_2d(mesh)
-    if jax.process_count() > 1:
-        def make_global(a):
-            a_np = np.asarray(a)
-            return jax.make_array_from_callback(
-                a_np.shape, sh, lambda idx, a_np=a_np: a_np[idx])
-        return jax.tree.map(make_global, state)
-    return jax.tree.map(lambda a: jax.device_put(a, sh), state)
+    return shard_state(state, mesh, sharding=body_sharding_2d(mesh))

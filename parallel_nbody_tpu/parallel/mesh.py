@@ -12,18 +12,31 @@ from __future__ import annotations
 
 import jax
 import numpy as np
+from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 BODY_AXIS = "bodies"
 
 
-def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """1-D mesh over the body axis.
+def device_grid(shape: tuple[int, ...], devices) -> np.ndarray:
+    """Arrange ``devices`` into ``shape`` with ICI-adjacent mesh axes.
 
-    On a real TPU slice the devices are ordered so neighboring shards sit on
-    ICI neighbors (JAX's default device order for a 1-D mesh follows the
-    torus); on CPU this is the virtual-device list.
+    ``jax.devices()`` is id-ordered, which is NOT a torus-adjacent ring on
+    real TPU slices — naive reshape would make ring ppermutes and the grid2d
+    row/col gathers hop multiple ICI links.  mesh_utils.create_device_mesh
+    knows the physical topology; it has no assignment for some shapes (e.g.
+    a 3-device subset of a slice, or heterogeneous CPU lists), where plain
+    list order is the only choice anyway.
     """
+    try:
+        return mesh_utils.create_device_mesh(shape, devices=devices)
+    except (ValueError, AssertionError, NotImplementedError):
+        return np.asarray(devices).reshape(shape)
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D mesh over the body axis, with neighboring shards on ICI
+    neighbors where the topology allows (see device_grid)."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
@@ -37,7 +50,7 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
                 "--xla_force_host_platform_device_count" %
                 (n_devices, len(devices), jax.default_backend()))
         devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (BODY_AXIS,))
+    return Mesh(device_grid((len(devices),), devices), (BODY_AXIS,))
 
 
 def body_sharding(mesh: Mesh) -> NamedSharding:
@@ -48,14 +61,16 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_state(state, mesh: Mesh):
+def shard_state(state, mesh: Mesh, sharding: NamedSharding | None = None):
     """Place every state array body-sharded on the mesh (the Bcast+scatter
     analog; requires state.n % mesh size == 0 — use pad_state first).
+    ``sharding`` overrides the default 1-D body sharding (grid2d passes its
+    flattened 2-D spec).
 
     Works on a multi-process (multi-host) mesh too: every process holds the
     identical full host state (deterministic init — the Bcast analog), and
     each contributes only its addressable shards to the global array."""
-    sh = body_sharding(mesh)
+    sh = body_sharding(mesh) if sharding is None else sharding
     if jax.process_count() > 1:
         def make_global(a):
             a_np = np.asarray(a)
