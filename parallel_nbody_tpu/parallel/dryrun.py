@@ -23,9 +23,10 @@ import os
 import sys
 
 
-def _force_cpu_devices(n_devices: int) -> None:
-    """Force an ``n_devices``-device virtual CPU platform.  Must run before
-    JAX's first device use in this process."""
+def _force_cpu_platform(n_devices: int) -> None:
+    """Point this process at an ``n_devices``-device virtual CPU platform
+    WITHOUT initializing the backend.  Must run before JAX's first device
+    use; safe before ``jax.distributed.initialize`` (multihost_smoke)."""
     flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
              if "xla_force_host_platform_device_count" not in f]
     flags.append("--xla_force_host_platform_device_count=%d" % n_devices)
@@ -35,6 +36,13 @@ def _force_cpu_devices(n_devices: int) -> None:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
 
+
+def _force_cpu_devices(n_devices: int) -> None:
+    """_force_cpu_platform + initialize the backend and verify the device
+    count (single-process callers only)."""
+    _force_cpu_platform(n_devices)
+
+    import jax
     backend = jax.default_backend()
     if backend != "cpu":
         raise RuntimeError(

@@ -26,16 +26,12 @@ STEPS = 3
 
 
 def worker(process_id: int, num_processes: int, port: int) -> None:
-    # Platform forcing must precede first device use (see parallel/dryrun.py).
-    flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
-             if "xla_force_host_platform_device_count" not in f]
-    flags.append("--xla_force_host_platform_device_count=%d" % LOCAL_DEVICES)
-    os.environ["XLA_FLAGS"] = " ".join(flags)
+    # Platform forcing must precede first device use — and must NOT touch
+    # the backend itself: jax.distributed.initialize comes first.
+    from .dryrun import _force_cpu_platform
+    _force_cpu_platform(LOCAL_DEVICES)
 
     import jax
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
-
     import numpy as np
 
     from . import multihost
