@@ -101,3 +101,17 @@ def test_padding_stays_parked_ring(comm):
     out = jax.device_get(make_sharded_run(CFG, mesh, 20, comm)(padded))
     np.testing.assert_array_equal(np.asarray(out.x[n_real:]), 1e9)
     np.testing.assert_array_equal(np.asarray(out.y[n_real:]), 1e9)
+
+
+def test_device_grid_covers_all_devices_once():
+    """device_grid must be a permutation of the requested devices in the
+    requested shape, whether mesh_utils has a topology assignment (real TPU
+    slices) or falls back to list order (virtual CPU lists, odd subsets)."""
+    from parallel_nbody_tpu.parallel.mesh import device_grid
+    devs = jax.devices()[:6]
+    grid = device_grid((2, 3), devs)
+    assert grid.shape == (2, 3)
+    assert {d.id for d in grid.ravel()} == {d.id for d in devs}
+    # 1-D and the odd-subset fallback path.
+    three = device_grid((3,), jax.devices()[:3])
+    assert [d.id for d in three] == sorted(d.id for d in three)
