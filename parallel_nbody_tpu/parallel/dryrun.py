@@ -42,7 +42,7 @@ def _force_cpu_devices(n_devices: int) -> None:
     count (single-process callers only)."""
     _force_cpu_platform(n_devices)
 
-    import jax
+    import jax  # noqa: F811 — lazy import, cached; keeps module import inert
     backend = jax.default_backend()
     if backend != "cpu":
         raise RuntimeError(

@@ -26,11 +26,20 @@ def device_grid(shape: tuple[int, ...], devices) -> np.ndarray:
     row/col gathers hop multiple ICI links.  mesh_utils.create_device_mesh
     knows the physical topology; it has no assignment for some shapes (e.g.
     a 3-device subset of a slice, or heterogeneous CPU lists), where plain
-    list order is the only choice anyway.
+    list order is the only choice anyway.  The fallback is warned about on
+    real multi-device TPU meshes — there it silently costs ICI hops.
     """
     try:
         return mesh_utils.create_device_mesh(shape, devices=devices)
-    except (ValueError, AssertionError, NotImplementedError):
+    except (ValueError, AssertionError, NotImplementedError) as e:
+        devices = list(devices)
+        if len(devices) > 1 and devices[0].platform == "tpu":
+            import warnings
+            warnings.warn(
+                "no physical-topology assignment for a %s mesh over %d TPU "
+                "devices (%s); falling back to id order — ring/grid "
+                "collectives may hop multiple ICI links" %
+                (shape, len(devices), e))
         return np.asarray(devices).reshape(shape)
 
 

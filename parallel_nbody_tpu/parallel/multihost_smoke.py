@@ -18,7 +18,6 @@ Used by tests/test_multihost.py and bin/multihost-smoke.sh.
 
 from __future__ import annotations
 
-import os
 import sys
 
 LOCAL_DEVICES = 2

@@ -112,6 +112,21 @@ def test_device_grid_covers_all_devices_once():
     grid = device_grid((2, 3), devs)
     assert grid.shape == (2, 3)
     assert {d.id for d in grid.ravel()} == {d.id for d in devs}
-    # 1-D and the odd-subset fallback path.
-    three = device_grid((3,), jax.devices()[:3])
-    assert [d.id for d in three] == sorted(d.id for d in three)
+
+
+def test_device_grid_fallback_preserves_list_order(monkeypatch):
+    """When mesh_utils has no topology assignment (it raises), device_grid
+    must fall back to the caller's list order — on CPU create_device_mesh
+    never raises, so force the except branch explicitly."""
+    from jax.experimental import mesh_utils
+
+    from parallel_nbody_tpu.parallel import mesh as mesh_mod
+
+    def boom(shape, devices=None):
+        raise ValueError("no assignment for this shape")
+
+    monkeypatch.setattr(mesh_utils, "create_device_mesh", boom)
+    devs = jax.devices()[:4]
+    grid = mesh_mod.device_grid((2, 2), devs)
+    assert grid.shape == (2, 2)
+    assert [d.id for d in grid.ravel()] == [d.id for d in devs]
