@@ -454,10 +454,15 @@ def main(argv=None) -> int:
     # inside the timed region by nature; use untraced runs for headline
     # timing.
     tracer = None
-    if opts["trace"] and jax.process_index() == 0:
+    if opts["trace"] and rank0:
         from .utils.timing import trace as trace_ctx
         tracer = trace_ctx(opts["trace"])
-        tracer.__enter__()
+        try:
+            tracer.__enter__()
+        except Exception as e:  # unwritable dir etc. — profiling is
+            sys.stderr.write(   # auxiliary, never kill the simulation
+                "Cannot start trace at %s: %s\n" % (opts["trace"], e))
+            tracer = None
 
     t0 = time.time()
     if chunked and remaining > 0:
@@ -494,17 +499,23 @@ def main(argv=None) -> int:
         jax.device_get(state.x[:1])
     rtime = time.time() - t0
     if tracer is not None:
-        tracer.__exit__(None, None, None)
         try:
-            from .utils.timing import trace_comm_share
-            ts = trace_comm_share(opts["trace"])
-            sys.stderr.write(
-                "Trace: op time %.3f s, collectives %.3f s (%.2f%% share) "
-                "-> %s\n" % (ts["op_us"] / 1e6, ts["collective_us"] / 1e6,
-                             100.0 * ts["share"], opts["trace"]))
-        except Exception as e:  # a missing/odd trace must not kill the run
-            sys.stderr.write("Trace written to %s (share extraction "
-                             "failed: %s)\n" % (opts["trace"], e))
+            tracer.__exit__(None, None, None)
+        except Exception as e:  # stop_trace failing (disk full, ...) must
+            sys.stderr.write(   # not discard the completed simulation
+                "Cannot finish trace at %s: %s\n" % (opts["trace"], e))
+        else:
+            try:
+                from .utils.timing import trace_comm_share
+                ts = trace_comm_share(opts["trace"])
+                sys.stderr.write(
+                    "Trace: op time %.3f s, collectives %.3f s (%.2f%% "
+                    "share) -> %s\n" % (ts["op_us"] / 1e6,
+                                        ts["collective_us"] / 1e6,
+                                        100.0 * ts["share"], opts["trace"]))
+            except Exception as e:  # a missing/odd trace must not kill it
+                sys.stderr.write("Trace written to %s (share extraction "
+                                 "failed: %s)\n" % (opts["trace"], e))
     comm_time = comm_time_per_step * remaining
 
     # Throughput accounting covers only the steps actually executed (with

@@ -184,7 +184,15 @@ def trace_comm_share(log_dir: str) -> dict:
     import json
     import os
 
-    files = glob.glob(os.path.join(log_dir, "**", "*.trace.json.gz"),
+    # The profiler writes each run under plugins/profile/<timestamp>/; a
+    # reused log_dir accumulates runs, and summing them all would blend
+    # different programs into one bogus share.  Read only the NEWEST run;
+    # fall back to a recursive glob for hand-laid-out trace dirs.
+    run_dirs = [d for d in glob.glob(os.path.join(log_dir, "plugins",
+                                                  "profile", "*"))
+                if os.path.isdir(d)]
+    root = max(run_dirs, key=os.path.getmtime) if run_dirs else log_dir
+    files = glob.glob(os.path.join(root, "**", "*.trace.json.gz"),
                       recursive=True)
     if not files:
         raise FileNotFoundError("no *.trace.json.gz under %s" % log_dir)

@@ -5,7 +5,7 @@ The reference's --measure-comm brackets its per-step MPI_Allgatherv
 count at fixed N (PDF Table 4: 0.27% at N=4096/P=2 up to 96.6% at
 N=512/P=128).  Here: the measured per-step collective cost on the virtual
 CPU mesh must be positive and must grow with the shard count for the ring
-strategy (P ppermute hops per step)."""
+strategy (P-1 packed ppermute hops per step)."""
 
 import jax
 import pytest
@@ -36,8 +36,8 @@ def test_comm_time_positive(comm):
 
 
 def test_ring_comm_grows_with_shard_count():
-    # 8 ppermute hops per step vs 2 — more shards must cost more comm at
-    # fixed N (the reference's comm-share-vs-P effect, PDF Table 4).
+    # 7 packed ppermute hops per step vs 1 — more shards must cost more
+    # comm at fixed N (the reference's comm-share-vs-P effect, PDF Table 4).
     t2 = _comm_per_step(2, "ring")
     t8 = _comm_per_step(8, "ring")
     assert t8 > t2, (t2, t8)
@@ -111,3 +111,37 @@ def test_trace_comm_share_excludes_umbrella_spans(tmp_path):
     assert res["op_us"] == 110.0, res
     assert res["collective_us"] == 10.0, res
     assert abs(res["share"] - 10.0 / 110.0) < 1e-12, res
+
+
+def test_trace_comm_share_reads_only_newest_run(tmp_path):
+    """start_trace(DIR) appends a new plugins/profile/<timestamp>/ run per
+    invocation; a reused DIR must report the LATEST run only, not a blend
+    of every program ever traced there."""
+    import gzip
+    import json
+    import os
+    import time
+
+    from parallel_nbody_tpu.utils.timing import trace_comm_share
+
+    def write_run(name, events, mtime):
+        d = tmp_path / "plugins" / "profile" / name
+        d.mkdir(parents=True)
+        with gzip.open(str(d / "vm.trace.json.gz"), "wt") as fh:
+            json.dump({"traceEvents": events}, fh)
+        os.utime(str(d), (mtime, mtime))
+
+    now = time.time()
+    write_run("old", [
+        {"ph": "X", "name": "stale_fusion", "dur": 1000.0, "ts": 0},
+        {"ph": "X", "name": "all-gather.1", "dur": 500.0, "ts": 0},
+    ], now - 100)
+    write_run("new", [
+        {"ph": "X", "name": "fresh_fusion", "dur": 90.0, "ts": 0},
+        {"ph": "X", "name": "ppermute.2", "dur": 10.0, "ts": 0},
+    ], now)
+
+    res = trace_comm_share(str(tmp_path))
+    assert res["op_us"] == 100.0, res
+    assert res["collective_us"] == 10.0, res
+    assert "stale_fusion" not in res["by_op"]

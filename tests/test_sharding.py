@@ -92,13 +92,26 @@ def test_padding_bodies_stay_inert():
     np.testing.assert_array_equal(np.asarray(out.y[n_real:]), 1e9)
 
 
-@pytest.mark.parametrize("comm", ["ring"])
-def test_padding_stays_parked_ring(comm):
+@pytest.mark.parametrize("comm", ["ring", "allgather"])
+def test_padding_stays_parked_sharded(comm):
     mesh = make_mesh(4)
     st = init_state(10, CFG)  # pads 10 -> 12
     padded, n_real = pad_state(st, 4)
     padded = shard_state(padded, mesh)
     out = jax.device_get(make_sharded_run(CFG, mesh, 20, comm)(padded))
+    np.testing.assert_array_equal(np.asarray(out.x[n_real:]), 1e9)
+    np.testing.assert_array_equal(np.asarray(out.y[n_real:]), 1e9)
+
+
+def test_padding_stays_parked_grid2d():
+    from parallel_nbody_tpu.parallel.grid2d import (make_grid2d_run,
+                                                    make_mesh2d,
+                                                    shard_state_2d)
+    mesh = make_mesh2d(2, 4)
+    st = init_state(10, CFG)  # pads 10 -> 16
+    padded, n_real = pad_state(st, 8)
+    padded = shard_state_2d(padded, mesh)
+    out = jax.device_get(make_grid2d_run(CFG, mesh, 20)(padded))
     np.testing.assert_array_equal(np.asarray(out.x[n_real:]), 1e9)
     np.testing.assert_array_equal(np.asarray(out.y[n_real:]), 1e9)
 
