@@ -13,7 +13,8 @@ plus TPU-era extensions (all optional, order-free):
                       (O(N/sqrt(P)) per-step comm; overrides --comm)
     --fast            transcendental-free force path (fp32/TPU speed path)
     --pallas          use the Pallas VMEM-tiled force kernel (implies --fast)
-    --dtype=T         float32 | float64 (default: float64 on CPU, float32 on TPU)
+    --dtype=T         float16 | bfloat16 | float32 | float64 (default:
+                      float64 on CPU, float32 on TPU)
     --accum=MODE      "plain" (default) or "compensated" (Kahan-compensated
                       partial sums in the Pallas force kernels — the
                       fp64-emulated accumulation option; see
@@ -116,7 +117,14 @@ def parse_args(argv):
         elif a == "--measure-comm":
             opts["measure_comm"] = True
         elif a.startswith("--devices="):
-            opts["devices"] = int(a.split("=", 1)[1])
+            try:
+                opts["devices"] = int(a.split("=", 1)[1])
+                if opts["devices"] < 1:
+                    raise ValueError
+            except ValueError:
+                sys.stderr.write("Bad --devices value (expected an "
+                                 "integer >= 1): %s\n" % a)
+                sys.exit(1)
         elif a.startswith("--comm="):
             opts["comm"] = a.split("=", 1)[1]
             if opts["comm"] not in ("allgather", "ring"):
@@ -140,6 +148,11 @@ def parse_args(argv):
             opts["pallas"] = True
         elif a.startswith("--dtype="):
             opts["dtype"] = a.split("=", 1)[1]
+            if opts["dtype"] not in ("float16", "bfloat16", "float32",
+                                     "float64"):
+                sys.stderr.write("Bad --dtype value (expected float16, "
+                                 "bfloat16, float32 or float64): %s\n" % a)
+                sys.exit(1)
         elif a.startswith("--accum="):
             opts["accum"] = a.split("=", 1)[1]
             if opts["accum"] not in ("plain", "compensated"):
@@ -259,6 +272,15 @@ def main(argv=None) -> int:
 
     if opts["mesh2d"]:
         n_dev = opts["mesh2d"][0] * opts["mesh2d"][1]
+        if opts["devices"] not in (None, n_dev):
+            sys.stderr.write(
+                "--mesh2d=%dx%d implies %d devices; conflicting "
+                "--devices=%d\n" % (opts["mesh2d"][0], opts["mesh2d"][1],
+                                    n_dev, opts["devices"]))
+            return 1
+        if n_dev == 1 and rank0:
+            sys.stderr.write("Note: --mesh2d=1x1 is a single-device run "
+                             "(no 2-D decomposition)\n")
     else:
         n_dev = opts["devices"] or len(jax.devices())
     multi = n_dev > 1
@@ -465,38 +487,50 @@ def main(argv=None) -> int:
             tracer = None
 
     t0 = time.time()
-    if chunked and remaining > 0:
-        # Host-chunked loop: wall-clock-driven frame updates (reference
-        # main loop, nbody-seq.c:457-472) and/or a per-dispatch step cap
-        # (--chunk-steps, for transports limiting dispatch duration).
-        lastup = 0.0
-        done = 0
-        while done < remaining:
-            k = min(chunk, remaining - done)
-            state = run_chunk(state, k)
-            done += k
-            if render_fn is not None:
-                # Completion fence BEFORE the elapsed check: dispatches are
-                # async, so without it the loop queues every chunk in
-                # milliseconds and the wall-clock test fires at most once —
-                # the reference's cadence (nbody-seq.c:467-471) is measured
-                # against completed simulation work.  Must be the readback
-                # fence: on tunneled transports block_until_ready returns
-                # early, which would reintroduce the queued-dispatch bug.
-                # (--chunk-steps without rendering keeps the faster
-                # queued-dispatch pattern.)
-                _fence(state.x)
-                if time.time() - lastup > secsup:
-                    render_fn(state)
-                    lastup = time.time()
-    elif remaining > 0:
-        state = run_chunk(state, remaining)
-    jax.block_until_ready(state)
-    if jax.process_count() == 1:
-        # Tunneled/async device transports can return from
-        # block_until_ready before device work completes; a one-element
-        # readback is a true completion fence (see docs/REPORT.md).
-        jax.device_get(state.x[:1])
+    try:
+        if chunked and remaining > 0:
+            # Host-chunked loop: wall-clock-driven frame updates (reference
+            # main loop, nbody-seq.c:457-472) and/or a per-dispatch step cap
+            # (--chunk-steps, for transports limiting dispatch duration).
+            lastup = 0.0
+            done = 0
+            while done < remaining:
+                k = min(chunk, remaining - done)
+                state = run_chunk(state, k)
+                done += k
+                if render_fn is not None:
+                    # Completion fence BEFORE the elapsed check: dispatches
+                    # are async, so without it the loop queues every chunk
+                    # in milliseconds and the wall-clock test fires at most
+                    # once — the reference's cadence (nbody-seq.c:467-471)
+                    # is measured against completed simulation work.  Must
+                    # be the readback fence: on tunneled transports
+                    # block_until_ready returns early, which would
+                    # reintroduce the queued-dispatch bug.  (--chunk-steps
+                    # without rendering keeps the faster queued-dispatch
+                    # pattern.)
+                    _fence(state.x)
+                    if time.time() - lastup > secsup:
+                        render_fn(state)
+                        lastup = time.time()
+        elif remaining > 0:
+            state = run_chunk(state, remaining)
+        jax.block_until_ready(state)
+        if jax.process_count() == 1:
+            # Tunneled/async device transports can return from
+            # block_until_ready before device work completes; a one-element
+            # readback is a true completion fence (see docs/REPORT.md).
+            jax.device_get(state.x[:1])
+    except BaseException:
+        # A failure mid-run (NaN under --check-nans, device error, Ctrl-C)
+        # must still finalize the trace — it is exactly the profile the
+        # user wants for debugging the failure.
+        if tracer is not None:
+            try:
+                tracer.__exit__(None, None, None)
+            except Exception:
+                pass
+        raise
     rtime = time.time() - t0
     if tracer is not None:
         try:
@@ -528,11 +562,16 @@ def main(argv=None) -> int:
     # multi-process run the save is collective, so every rank calls it).
     # A .npz path keeps the exact-parity host snapshot written after the
     # gather below.
+    # The state's true step count: with --resume past the argv target
+    # (start_step > steps) no steps run, and recording argv's ``steps``
+    # would silently rewind the counter without rewinding the state.
+    done_steps = start_step + remaining
     ckpt_orbax = opts["checkpoint"] and not opts["checkpoint"].endswith(
         ".npz")
     if ckpt_orbax:
         try:
-            ckpt.save_state_orbax(opts["checkpoint"], state, steps, n_real)
+            ckpt.save_state_orbax(opts["checkpoint"], state, done_steps,
+                                  n_real)
         except Exception as e:  # noqa: BLE001 — mirror the resume guard:
             # e.g. Orbax refuses host-local (unsharded) arrays in a
             # multi-process run; report and still deliver the run's output.
@@ -553,7 +592,7 @@ def main(argv=None) -> int:
         state = unpad_state(state, n_real)
 
     if opts["checkpoint"] and not ckpt_orbax and rank0:
-        ckpt.save_state(opts["checkpoint"], state, steps)
+        ckpt.save_state(opts["checkpoint"], state, done_steps)
 
     if opts["check_nans"]:
         from .utils.debug import validate_state

@@ -103,8 +103,7 @@ def worker(process_id: int, num_processes: int, port: int) -> None:
         from ..parallel.grid2d import (make_grid2d_run, make_mesh2d,
                                        shard_state_2d)
         mesh2d = make_mesh2d(2, n_global // 2)
-        global_2d = shard_state_2d(
-            State(*(jnp_like for jnp_like in padded_np)), mesh2d)
+        global_2d = shard_state_2d(State(*padded_np), mesh2d)
         out = make_grid2d_run(cfg, mesh2d, STEPS)(global_2d)
         jax.block_until_ready(out)
         check(out, "grid2d")

@@ -72,8 +72,11 @@ def validate_state(state: State, xdim: int | None = None,
     y = np.asarray(state.y)
     in_bounds = True
     if xdim is not None:
-        in_bounds = bool((x >= 0).all() and (x <= xdim - 1).all()
-                         and (y >= 0).all() and (y <= ydim - 1).all())
+        # Legal positions occupy [0, dim): the wall bounce clamps to dim-1
+        # only once x_new >= dim (compute_positions), so e.g. x = xdim-0.5
+        # is a healthy in-bounds state.
+        in_bounds = bool((x >= 0).all() and (x < xdim).all()
+                         and (y >= 0).all() and (y < ydim).all())
     speed = np.sqrt(np.asarray(state.xv) ** 2 + np.asarray(state.yv) ** 2)
     force = np.sqrt(np.asarray(state.xf) ** 2 + np.asarray(state.yf) ** 2)
     return StateDiagnostics(

@@ -45,11 +45,21 @@ class GlibcRand:
         if seed == 0:
             seed = 1
         r = np.zeros(self.STATE_WORDS, dtype=np.int64)
-        r[0] = np.int32(seed)
+        # glibc stores the unsigned seed into an int32_t word
+        # (srandom_r, stdlib/random_r.c): two's-complement wrap, so seeds
+        # >= 2**31 start the Schrage recurrence from a NEGATIVE word.
+        word = seed - (1 << 32) if seed >= (1 << 31) else seed
+        r[0] = word
         for i in range(1, self.DEGREE):
-            # r[i] = (16807 * r[i-1]) % 2147483647 via Schrage, on int32 words.
-            hi, lo = divmod(int(r[i - 1]), 127773)
-            word = 16807 * lo - 2836 * hi
+            # r[i] = (16807 * r[i-1]) % 2147483647 via Schrage.  C's signed
+            # '/' and '%' truncate toward zero (Python's divmod floors), so
+            # compute the quotient/remainder on the magnitude; this only
+            # differs on the possibly-negative first word — every later
+            # word is non-negative after the += 2147483647 correction.
+            q, rem = divmod(abs(word), 127773)
+            if word < 0:
+                q, rem = -q, -rem
+            word = 16807 * rem - 2836 * q
             if word < 0:
                 word += 2147483647
             r[i] = word

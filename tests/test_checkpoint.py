@@ -67,6 +67,36 @@ def test_orbax_roundtrip_sharded(tmp_path):
                                   np.asarray(sharded.x))
 
 
+def test_checkpoint_records_true_step_on_resume_past_target(tmp_path,
+                                                            capsys):
+    """Resuming a step-100 checkpoint with argv steps=50 runs zero steps;
+    the re-saved checkpoint must record step 100 (the state's true step
+    count), not argv's 50 — else a later resume re-runs steps on a state
+    that already took them."""
+    from parallel_nbody_tpu import cli
+    from parallel_nbody_tpu.utils import checkpoint as ckpt_mod
+    from parallel_nbody_tpu.utils import ppm
+
+    arena = str(tmp_path / "arena.ppm")
+    ppm.create(arena, 64, 48)
+    ck1 = str(tmp_path / "ck1.npz")
+    ck2 = str(tmp_path / "ck2.npz")
+    args = ["nbody", "4", "0", arena, "100", "--devices=1",
+            "--dtype=float64"]
+    assert cli.main(args + ["--checkpoint=%s" % ck1]) == 0
+    assert cli.main(["nbody", "4", "0", arena, "50",
+                     "--resume=%s" % ck1, "--checkpoint=%s" % ck2,
+                     "--devices=1", "--dtype=float64"]) == 0
+    capsys.readouterr()
+    cfg = SimConfig(xdim=64, ydim=48, dtype="float64")
+    st1, step1 = ckpt_mod.load_state(ck1, cfg)
+    st2, step2 = ckpt_mod.load_state(ck2, cfg)
+    assert step1 == 100
+    assert step2 == 100  # NOT argv's 50
+    np.testing.assert_array_equal(np.asarray(st1.x), np.asarray(st2.x))
+    np.testing.assert_array_equal(np.asarray(st1.xv), np.asarray(st2.xv))
+
+
 def test_cli_orbax_save_failure_is_guarded(tmp_path, monkeypatch, capsys):
     """ADVICE r3: a failing Orbax save (e.g. host-local arrays in a
     multi-process run) must not crash the driver after the whole simulation

@@ -316,6 +316,34 @@ def test_par_csv_byte_contract(arena):
     assert re.fullmatch(r"\d+,\d+\.\d{3}, \d+\.\d{2}", r.stdout.strip())
 
 
+def test_devices_flag_validated_at_parse_time(arena):
+    """--devices must get the same friendly parse-time error surface as
+    its sibling flags, not a bare int() ValueError traceback."""
+    for bad in ("--devices=abc", "--devices=", "--devices=0"):
+        r = run_cli(["16", "0", arena, "1", bad])
+        assert r.returncode == 1, bad
+        assert "Bad --devices" in r.stderr
+        assert "Traceback" not in r.stderr
+
+
+def test_dtype_flag_validated_at_parse_time(arena):
+    r = run_cli(["16", "0", arena, "1", "--dtype=fp32"])
+    assert r.returncode == 1
+    assert "Bad --dtype" in r.stderr
+    assert "Traceback" not in r.stderr
+
+
+def test_mesh2d_devices_conflict_rejected(arena):
+    """--mesh2d=RxC implies R*C devices; a conflicting explicit --devices
+    must fail loudly instead of silently running on R*C devices."""
+    r = run_cli(["16", "0", arena, "1", "--mesh2d=2x2", "--devices=8"])
+    assert r.returncode == 1
+    assert "conflicting --devices" in r.stderr
+    # A consistent pair is accepted.
+    r = run_cli(["16", "0", arena, "1", "--mesh2d=2x2", "--devices=4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+
 def test_comm_flag_validated_at_parse_time(arena):
     """VERDICT r3 #3: --comm=bogus must get the same friendly parse-time
     error surface as --mesh2d / --chunk-steps, not an AssertionError

@@ -32,6 +32,18 @@ def test_validate_detects_out_of_bounds():
     assert d.finite and not d.pos_in_bounds
 
 
+def test_validate_bounds_are_half_open():
+    # Legal positions occupy [0, dim): the wall bounce (compute_positions)
+    # only clamps once x_new >= dim, so xdim - 0.5 is a healthy state and
+    # must not be reported out of bounds; xdim itself must be.
+    cfg = SimConfig(dtype="float64")
+    st = init_state(8, cfg)
+    ok = st._replace(x=st.x.at[0].set(cfg.xdim - 0.5))
+    assert validate_state(ok, cfg.xdim, cfg.ydim).pos_in_bounds
+    bad = st._replace(x=st.x.at[0].set(float(cfg.xdim)))
+    assert not validate_state(bad, cfg.xdim, cfg.ydim).pos_in_bounds
+
+
 def test_per_field_printers():
     from parallel_nbody_tpu.config import SimConfig
     from parallel_nbody_tpu.state import init_state

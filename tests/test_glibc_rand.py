@@ -43,6 +43,25 @@ def test_radius_mass_model():
         assert mass[b] == r * r * r
 
 
+def test_large_unsigned_seeds_match_glibc():
+    """glibc stores the unsigned srand() seed into an int32_t, so seeds
+    >= 2**31 start the Schrage recurrence from a NEGATIVE word whose C
+    '/'+'%' truncate toward zero (Python's divmod floors — the historical
+    bug here).  KATs captured from glibc's actual srand/rand on this
+    machine (gcc, glibc TYPE_3)."""
+    expected = {
+        3000000000: [2058147116, 854483408, 922419988, 286396165,
+                     2068523933, 1172167191, 573677598, 1899216469],
+        2147483648: [1336741213, 1210407648, 1447044896, 337392383,
+                     82502902, 538660432, 1313908778, 370221063],
+        4294967295: [254925627, 1205188300, 366127624, 1401405153,
+                     76053476, 1604170158, 1302235366, 362229243],
+    }
+    for seed, draws in expected.items():
+        rng = GlibcRand(seed)
+        assert [rng.rand() for _ in range(8)] == draws, seed
+
+
 def test_draws_are_31_bit():
     rng = GlibcRand(27102015)
     draws = rng.randn_many(1000)

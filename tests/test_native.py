@@ -19,6 +19,16 @@ def test_rand_stream_bit_identical():
 
 
 @needs_native
+def test_rand_stream_bit_identical_large_seed():
+    # Seeds >= 2**31 wrap to a negative int32 seed word (C truncation in
+    # the first Schrage step); both implementations must agree with glibc.
+    for seed in (3000000000, 2147483648, 4294967295):
+        py = GlibcRand(seed)
+        native = native_bridge.glibc_rand_fill(seed, 500)
+        np.testing.assert_array_equal(native, py.randn_many(500))
+
+
+@needs_native
 def test_init_bit_identical_to_python():
     nat = native_bridge.nbody_init(1000, 1024, 768, 27102015)
     # Force the Python path by staying under the dispatch threshold via
