@@ -23,15 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from parallel_nbody_tpu.config import SimConfig
 from parallel_nbody_tpu.ops.integrate import (compute_positions,
                                               compute_velocities)
 from parallel_nbody_tpu.ops.pallas_step import (any_coincident,
                                                 pallas_block_forces_streamed)
-from parallel_nbody_tpu.ops.render import (_NO_HIT, _hosted_hit_chunk,
-                                           tint_rgb)
+from parallel_nbody_tpu.ops.render import render_frame_hosted
 from parallel_nbody_tpu.state import random_state
 from parallel_nbody_tpu.utils import ppm
 
@@ -95,18 +93,21 @@ def main() -> int:
     # limit; each chunk stays one fused reduction on-device.
     t0 = time.time()
     body_chunk = 250_000
-    radius = st.radius
+    n_render_chunks = -(-n // body_chunk)
+    done = [0]
 
-    best = np.full((cfg.ydim, cfg.xdim), _NO_HIT, np.int64)
-    for b0 in range(0, n, body_chunk):
-        sub = _hosted_hit_chunk(x, y, radius, jnp.int32(n), jnp.int32(b0),
-                                body_chunk, cfg.ydim, cfg.xdim)
-        best = np.minimum(best, np.asarray(jax.device_get(sub), np.int64))
-        if (b0 // body_chunk) % 10 == 9:
+    def fence(sub):
+        # Per-dispatch completion + progress; the shared helper clamps the
+        # tail chunk (k = min(body_chunk, n - b0)) so a non-multiple N
+        # rasterizes every body under its true global index.
+        jax.device_get(sub[:1, :1])
+        done[0] += 1
+        if done[0] % 10 == 0 or done[0] == n_render_chunks:
             print("  render %d/%d (%.1f s elapsed)"
-                  % (b0 // body_chunk + 1, n // body_chunk,
-                     time.time() - t0), flush=True)
-    frame = np.asarray(tint_rgb(jnp.asarray(best.astype(np.int32)), n))
+                  % (done[0], n_render_chunks, time.time() - t0), flush=True)
+
+    frame = render_frame_hosted(cfg, x, y, st.radius, n,
+                                body_chunk=body_chunk, fence=fence)
     ppm.create(out_ppm, cfg.xdim, cfg.ydim, frame)
     t_render = time.time() - t0
 
@@ -123,7 +124,9 @@ def main() -> int:
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
-    with open("benchmarks/results_huge.json", "w") as f:
+    out_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results_huge.json")
+    with open(out_json, "w") as f:
         json.dump(result, f, indent=2)
     return 0
 

@@ -28,6 +28,7 @@ Mosaic-compiled kernels against the CPU fp64 oracle:
           mesh at N=262144, 20 steps, compared on-device against the fused
           engine's trajectory (case C's endpoint).  Round-4's one-off check
           found bit-identity at 3 steps; this makes it a standing gate.
+          (case D' is the same comparison on the allgather program.)
   case E  grid2d program  — the 2-D force-matrix decomposition
           (make_grid2d_run, degenerate 1x1 mesh: row/col gathers + psum)
           at N=262144, 20 steps, same comparison.
@@ -241,8 +242,9 @@ def hardware_phase() -> dict:
         endD = make_sharded_run(cfg, mesh1, STEPS, comm)(
             shard_state(padded, mesh1))
         jax.device_get(endD.x[:1])
-        print("case D (%s program, N=%d, %d steps) ran in %.1f s"
-              % (comm, N_LARGE, STEPS, time.time() - t0), flush=True)
+        case = "D" if comm == "ring" else "D'"
+        print("case %s (%s program, N=%d, %d steps) ran in %.1f s"
+              % (case, comm, N_LARGE, STEPS, time.time() - t0), flush=True)
         compare(comm, endD)
 
     t0 = time.time()

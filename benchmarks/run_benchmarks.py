@@ -63,7 +63,8 @@ def time_run(cfg, state, steps, chunk=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--out", default="benchmarks/results.json")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "results.json"))
     args = ap.parse_args()
 
     backend = jax.default_backend()

@@ -12,8 +12,15 @@ NBODY="python -m parallel_nbody_tpu.cli"
 # NBODY_PLATFORM routes through jax.config.update inside the CLI — the
 # JAX_PLATFORMS env var is ignored by some ambient platform plugins.
 nbody_cpu() {
+  # XLA flag parsing is last-occurrence-wins: strip any stale ambient
+  # device-count flag and append ours LAST, or a leftover
+  # --xla_force_host_platform_device_count=1 in the caller's environment
+  # would shrink the required 8-device virtual mesh.
+  local xla
+  xla="$(printf '%s' "${XLA_FLAGS:-}" |
+         sed -E 's/--xla_force_host_platform_device_count=[0-9]+//g')"
   NBODY_PLATFORM=cpu \
-  XLA_FLAGS="--xla_force_host_platform_device_count=8 ${XLA_FLAGS:-}" \
+  XLA_FLAGS="$xla --xla_force_host_platform_device_count=8" \
   python -m parallel_nbody_tpu.cli "$@"
 }
 

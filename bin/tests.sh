@@ -28,11 +28,27 @@ esac
 
 ARENA=$(ensure_arena)
 mkdir -p "$REPO_ROOT/tests_out"
-REF="$REPO_ROOT/tests_out/${N}_${VARIANT}_MY_REF_OUTPUT"
+# The cached oracle is STEPS-specific: the default keeps the reference's
+# tests/${N}_MY_REF_OUTPUT naming; other step counts get their own file so
+# a STEPS=100 run never diffs against a stale 1000-step oracle.
+if [ "$STEPS" = 1000 ]; then
+  REF="$REPO_ROOT/tests_out/${N}_${VARIANT}_MY_REF_OUTPUT"
+else
+  REF="$REPO_ROOT/tests_out/${N}_${VARIANT}_s${STEPS}_MY_REF_OUTPUT"
+fi
 BASE="$REPO_ROOT/tests_out/${NP}_${VARIANT}_${N}_mynbody.test"
 
 if [ ! -f "$REF" ]; then
-  nbody_cpu "$N" 0 "$ARENA" "$STEPS" --devices=1 $FLAGS > "$REF" 2>/dev/null
+  # Generate into a temp file and only cache on success: a crashed or
+  # interrupted oracle run must not leave an empty REF that makes every
+  # later run of this combo diff-FAIL forever.
+  if ! nbody_cpu "$N" 0 "$ARENA" "$STEPS" --devices=1 $FLAGS \
+      > "$REF.tmp" 2>/dev/null || [ ! -s "$REF.tmp" ]; then
+    rm -f "$REF.tmp"
+    echo "ORACLE GENERATION FAILED: N=$N VARIANT=$VARIANT STEPS=$STEPS" >&2
+    exit 3
+  fi
+  mv "$REF.tmp" "$REF"
   # The parity variant's oracle must itself match the vendored golden
   # fixture (reference tests/${N}_MY_REF_OUTPUT semantics).
   GOLD="$REPO_ROOT/tests/fixtures/${N}_MY_REF_OUTPUT"

@@ -71,6 +71,10 @@ def read_header(path: str) -> PPMFile:
     xdim, _ = next(toks)
     ydim, _ = next(toks)
     maxval, end = next(toks)
+    if xdim < 1 or ydim < 1:
+        # A zero dimension would reach init's rand() % xdim as a division
+        # by zero (SIGFPE in the native path); reject it at the parser.
+        raise PPMError(f"{path}: non-positive dimensions {xdim}x{ydim}")
     if maxval > 255:
         raise PPMError(f"{path}: 16-bit PPM unsupported (maxval={maxval})")
     # Exactly one whitespace byte separates maxval from pixel data.

@@ -32,6 +32,16 @@ def test_reject_p5(tmp_path):
         ppm.read_header(p)
 
 
+def test_reject_zero_dimensions(tmp_path):
+    # A zero dim would reach init's rand() % xdim — SIGFPE in the native
+    # path, ZeroDivisionError in Python; the parser must reject it first.
+    p = str(tmp_path / "zero.ppm")
+    with open(p, "wb") as f:
+        f.write(b"P6\n0 768\n255\n")
+    with pytest.raises(ppm.PPMError):
+        ppm.read_header(p)
+
+
 def test_reject_16bit(tmp_path):
     p = str(tmp_path / "deep.ppm")
     with open(p, "wb") as f:
