@@ -32,13 +32,5 @@ assert len(jax.devices()) == 8, (
     "xla_force_host_platform_device_count was not honored"
     % len(jax.devices()))
 
-import pytest  # noqa: E402
-
-REFERENCE = "/root/reference"
-FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "fixtures")
-
-
-@pytest.fixture(scope="session")
-def reference_available():
-    return os.path.isdir(REFERENCE)
+# (Reference-checkout detection lives in tests/test_parity.py, the only
+# consumer.)

@@ -93,6 +93,7 @@ def test_missing_ppm(arena):
 @pytest.mark.slow
 def test_golden_diff_via_cli(arena):
     r = run_cli(["128", "0", arena, "1000", "--devices=4"])
+    assert r.returncode == 0, r.stderr[-2000:]
     assert r.stdout == open(REF_FIXTURE).read()
 
 
@@ -124,6 +125,8 @@ def test_checkpoint_resume_bitexact(arena, tmp_path):
     ck = str(tmp_path / "state.npz")
     full = run_cli(["16", "0", arena, "200"])
     first = run_cli(["16", "0", arena, "100", f"--checkpoint={ck}"])
+    assert full.returncode == 0, full.stderr[-2000:]
+    assert first.returncode == 0, first.stderr[-2000:]
     assert os.path.exists(ck)
     second = run_cli(["16", "0", arena, "200", f"--resume={ck}"])
     assert second.stdout == full.stdout
@@ -135,9 +138,12 @@ def test_checkpoint_resume_across_shard_counts(arena, tmp_path):
     # resume on 2 shards, must match a straight single-device run.
     ck = str(tmp_path / "state.npz")
     full = run_cli(["16", "0", arena, "200", "--devices=1"])
-    run_cli(["16", "0", arena, "100", "--devices=4", f"--checkpoint={ck}"])
+    saved = run_cli(["16", "0", arena, "100", "--devices=4",
+                     f"--checkpoint={ck}"])
+    assert saved.returncode == 0, saved.stderr[-2000:]
     resumed = run_cli(["16", "0", arena, "200", "--devices=2",
                        f"--resume={ck}"])
+    assert resumed.returncode == 0, resumed.stderr[-2000:]
     assert resumed.stdout == full.stdout
 
 
@@ -162,9 +168,12 @@ def test_checkpoint_orbax_resume_across_shard_counts(arena, tmp_path):
     # on 2 shards, must match a straight single-device run.
     ck = str(tmp_path / "ckpt_dir")
     full = run_cli(["16", "0", arena, "200", "--devices=1"])
-    run_cli(["16", "0", arena, "100", "--devices=4", f"--checkpoint={ck}"])
+    saved = run_cli(["16", "0", arena, "100", "--devices=4",
+                     f"--checkpoint={ck}"])
+    assert saved.returncode == 0, saved.stderr[-2000:]
     resumed = run_cli(["16", "0", arena, "200", "--devices=2",
                        f"--resume={ck}"])
+    assert resumed.returncode == 0, resumed.stderr[-2000:]
     assert resumed.stdout == full.stdout
 
 
@@ -175,9 +184,12 @@ def test_checkpoint_orbax_padding_mismatch_falls_back(arena, tmp_path):
     # match an uninterrupted single-device run byte-for-byte.
     ck = str(tmp_path / "ckpt_dir")
     full = run_cli(["20", "0", arena, "160", "--devices=1"])
-    run_cli(["20", "0", arena, "80", "--devices=4", f"--checkpoint={ck}"])
+    saved = run_cli(["20", "0", arena, "80", "--devices=4",
+                     f"--checkpoint={ck}"])
+    assert saved.returncode == 0, saved.stderr[-2000:]
     resumed = run_cli(["20", "0", arena, "160", "--devices=8",
                        f"--resume={ck}"])
+    assert resumed.returncode == 0, resumed.stderr[-2000:]
     assert resumed.stdout == full.stdout
 
 
@@ -186,9 +198,12 @@ def test_checkpoint_orbax_mesh2d_resume(arena, tmp_path):
     # layout is produced by shard_state_2d, not the 1-D body sharding).
     ck = str(tmp_path / "ckpt_dir")
     full = run_cli(["16", "0", arena, "160", "--devices=1"])
-    run_cli(["16", "0", arena, "80", "--mesh2d=2x4", f"--checkpoint={ck}"])
+    saved = run_cli(["16", "0", arena, "80", "--mesh2d=2x4",
+                     f"--checkpoint={ck}"])
+    assert saved.returncode == 0, saved.stderr[-2000:]
     resumed = run_cli(["16", "0", arena, "160", "--mesh2d=2x2",
                        f"--resume={ck}"])
+    assert resumed.returncode == 0, resumed.stderr[-2000:]
     assert resumed.stdout == full.stdout
 
 
@@ -228,9 +243,8 @@ def test_checkpoint_orbax_overwrite_on_rerun(arena, tmp_path):
     assert resumed.stdout == second.stdout
 
 
-def test_frame_rendering_with_secsup(arena, tmp_path):
+def test_frame_rendering_with_secsup(tmp_path):
     from parallel_nbody_tpu.utils import ppm
-    import numpy as np
     p = str(tmp_path / "frame.ppm")
     ppm.create(p, 256, 192)
     r = run_cli(["8", "1", p, "3000"])
@@ -436,6 +450,7 @@ def test_huge_path_via_cli_matches_fused(tmp_path):
     ppm.create(arena, 128, 96)
     log = str(tmp_path / "frames.log")
     fused = run_cli(["300", "0", arena, "2", "--pallas", "--dtype=float32"])
+    assert fused.returncode == 0, fused.stderr[-3000:]
     hosted = run_cli(["300", "1", arena, "2", "--pallas",
                       "--dtype=float32"],
                      env_extra={"NBODY_HUGE_THRESHOLD": "100",
@@ -483,6 +498,7 @@ def test_frame_rendering_with_secsup_sharded(tmp_path):
     ppm.create(p4, 256, 192)
     log = str(tmp_path / "frames.log")
     single = run_cli(["64", "0", p1, "400"])
+    assert single.returncode == 0, single.stderr[-3000:]
     sharded = run_cli(["64", "1", p4, "400", "--devices=4"],
                       env_extra={"NBODY_FRAME_LOG": log})
     assert sharded.returncode == 0, sharded.stderr[-3000:]
@@ -499,6 +515,7 @@ def test_trace_flag_writes_profile_and_reports_share(arena, tmp_path):
     measurement, SURVEY.md §5) without altering stdout parity."""
     d = str(tmp_path / "trace")
     plain = run_cli(["32", "0", arena, "20", "--devices=4"])
+    assert plain.returncode == 0, plain.stderr[-3000:]
     traced = run_cli(["32", "0", arena, "20", "--devices=4",
                       "--trace=" + d])
     assert traced.returncode == 0, traced.stderr[-3000:]

@@ -105,13 +105,26 @@ def _assert_forces_close(state, oracle, rtol, atol=1e-9):
     np.testing.assert_allclose(fy, oy, rtol=rtol, atol=atol)
 
 
-def test_oracle_has_nonzero_coincident_forces(oracle_step):
-    # Sanity: the engineered pairs really produce the +x/-x kick pattern —
-    # a fast path that zeroes coincident pairs CANNOT match this oracle.
+def test_oracle_has_nonzero_coincident_forces():
+    # Sanity: the coincident pair (0,5) really contributes the reference
+    # kick to the oracle.  Merely asserting fx[0] != 0 would hold from the
+    # other 14 bodies' gravity even if coincident forces were zeroed, so
+    # isolate the pair's contribution: zero body 5's mass (removing ONLY
+    # the (0,5) interaction as felt by body 0) and the difference on body 0
+    # must be exactly +G·m0·m5/(r0+r5)² along x and nothing along y.
     st0 = _coincident_state()
     xf, yf = compute_forces_dense(TRIG64, st0.x, st0.y, st0.mass, st0.radius)
-    pair_fx = np.asarray(xf)
-    assert abs(pair_fx[0]) > 0 and abs(pair_fx[5]) > 0
+    m = np.asarray(st0.mass).copy()
+    m0, m5 = m[0], m[5]
+    m[5] = 0.0
+    xf2, yf2 = compute_forces_dense(TRIG64, st0.x, st0.y, jnp.asarray(m),
+                                    st0.radius)
+    r = np.asarray(st0.radius)
+    kick = TRIG64.gravity * m0 * m5 / (r[0] + r[5]) ** 2
+    np.testing.assert_allclose(np.asarray(xf)[0] - np.asarray(xf2)[0],
+                               kick, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(yf)[0] - np.asarray(yf2)[0],
+                               0.0, atol=1e-12)
 
 
 def test_dense_fast_matches_oracle(oracle_step):

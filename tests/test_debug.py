@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from parallel_nbody_tpu.config import SimConfig
-from parallel_nbody_tpu.state import State, init_state
+from parallel_nbody_tpu.state import init_state
 from parallel_nbody_tpu.utils.debug import validate_state
 
 
@@ -45,8 +45,6 @@ def test_validate_bounds_are_half_open():
 
 
 def test_per_field_printers():
-    from parallel_nbody_tpu.config import SimConfig
-    from parallel_nbody_tpu.state import init_state
     from parallel_nbody_tpu.utils.debug import (format_forces,
                                                 format_positions,
                                                 format_velocities)

@@ -17,7 +17,6 @@ F32 = SimConfig(force_mode="fast", dtype="float32")
 
 
 def test_fp32_tracks_fp64_positions():
-    import jax
     n, steps = 256, 500
     st64 = init_state(n, F64)
     st32 = init_state(n, F32)

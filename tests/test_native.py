@@ -47,10 +47,22 @@ def test_init_bit_identical_to_python():
 
 
 @needs_native
-def test_large_init_dispatches_native():
+def test_large_init_dispatches_native(monkeypatch):
     # nbody_init_arrays uses native for n >= 4096; results must match the
-    # Python oracle for a sampled prefix.
+    # Python oracle for a sampled prefix.  Spy on the bridge call: values
+    # alone cannot prove the native path ran (the Python fallback is
+    # bit-identical by design), so a silently-dead dispatch would otherwise
+    # stay green forever.
+    calls = []
+    real = native_bridge.nbody_init
+
+    def spy(*a, **kw):
+        calls.append(a)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(native_bridge, "nbody_init", spy)
     x, y, xv, yv, m, r = nbody_init_arrays(4096, 1024, 768)
+    assert calls, "n=4096 init did not dispatch to the native path"
     rng = GlibcRand(27102015)
     for b in range(8):
         assert x[b] == rng.rand() % 1024

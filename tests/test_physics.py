@@ -13,7 +13,7 @@ from parallel_nbody_tpu.models.engine import step, total_energy
 from parallel_nbody_tpu.ops.forces import compute_forces_dense
 from parallel_nbody_tpu.ops.integrate import (compute_positions,
                                               compute_velocities)
-from parallel_nbody_tpu.state import State, init_state
+from parallel_nbody_tpu.state import init_state
 
 CFG = SimConfig(xdim=1024, ydim=768, force_mode="trig", dtype="float64")
 
@@ -150,8 +150,6 @@ def test_energy_dissipates_with_friction():
 
 
 def test_pallas_trig_config_rejected():
-    import pytest
-    from parallel_nbody_tpu.config import SimConfig
     with pytest.raises(ValueError, match="pallas"):
         SimConfig(kernel="pallas", force_mode="trig")
 

@@ -21,7 +21,7 @@ from parallel_nbody_tpu.utils.output import format_state
 
 CFG = SimConfig(xdim=1024, ydim=768, force_mode="trig", dtype="float64")
 STEPS = 100
-N = 96  # deliberately not a multiple of 8 to exercise padding
+N = 97  # prime, so every shard count > 1 exercises pad_state remainders
 
 
 def _run_sharded(n_dev, comm, cfg=CFG, n=N, steps=STEPS):
