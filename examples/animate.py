@@ -19,6 +19,13 @@ import sys
 import jax
 import numpy as np
 
+# Honor NBODY_PLATFORM like the CLI: some environments pre-register an
+# ambient TPU platform plugin that ignores the JAX_PLATFORMS env var.
+_platform = os.environ.get("NBODY_PLATFORM") or os.environ.get(
+    "JAX_PLATFORMS")
+if _platform:
+    jax.config.update("jax_platforms", _platform)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from parallel_nbody_tpu.config import SimConfig
