@@ -15,14 +15,75 @@ Prints exactly one JSON line:
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import jax
 import numpy as np
 
+# Wedged-transport probe budget: the tunneled device backend in some
+# environments can hang jax.devices() indefinitely (no CPU burn, no error).
+# A hung benchmark records NOTHING; probing in a killable child and retrying
+# rides out short wedges and converts a long one into an error JSON line.
+_PROBE_ATTEMPTS = 8
+_PROBE_TIMEOUT_S = 90.0
+_PROBE_RETRY_SLEEP_S = 75.0
+
+
+def _backend_responsive(timeout_s=_PROBE_TIMEOUT_S):
+    """Return the default backend name if a trivial jit executes, else None.
+
+    Runs in a subprocess because a wedged device tunnel hangs inside the
+    platform plugin where no Python-level timeout can interrupt it — a child
+    process can simply be killed.  The child honors NBODY_PLATFORM /
+    JAX_PLATFORMS via jax.config exactly like the parent (cli.py:215-218).
+    """
+    code = (
+        "import os, jax\n"
+        "p = os.environ.get('NBODY_PLATFORM') or os.environ.get('JAX_PLATFORMS')\n"
+        "if p:\n"
+        "    jax.config.update('jax_platforms', p)\n"
+        "import numpy as np\n"
+        "x = jax.jit(lambda a: a * 2)(np.arange(4, dtype=np.float32))\n"
+        "assert float(np.asarray(x)[1]) == 2.0\n"
+        "print(jax.default_backend())\n"
+    )
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True,
+                              timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None
+    if proc.returncode != 0 or not proc.stdout.strip():
+        return None
+    return proc.stdout.strip().splitlines()[-1]
+
 
 def main():
+    # Honor a requested platform before first device use (the env var alone
+    # is ignored by some ambient platform plugins; see cli.py:212-218).
+    requested = os.environ.get("NBODY_PLATFORM") or os.environ.get("JAX_PLATFORMS")
+    if requested:
+        jax.config.update("jax_platforms", requested)
+
+    backend = _backend_responsive()
+    attempts = 1
+    while backend is None and attempts < _PROBE_ATTEMPTS:
+        time.sleep(_PROBE_RETRY_SLEEP_S)
+        attempts += 1
+        backend = _backend_responsive()
+    if backend is None:
+        print(json.dumps({
+            "error": "device backend unresponsive after %d probes "
+                     "(~%d s) — wedged device transport?"
+                     % (attempts,
+                        int(attempts * (_PROBE_TIMEOUT_S
+                                        + _PROBE_RETRY_SLEEP_S))),
+        }))
+        return 1
+
     from parallel_nbody_tpu.config import SimConfig
     from parallel_nbody_tpu.models.engine import run
     from parallel_nbody_tpu.state import random_state
