@@ -1,0 +1,77 @@
+#!/bin/bash
+# Randomized differential parity fuzz — automates the "fresh oracle" probe:
+# pick COUNT seeded-random configurations, generate golden outputs from the
+# REFERENCE BINARY itself (not from this engine, unlike bin/tests.sh whose
+# oracle is our own --devices=1 run), and byte-diff the parity CLI through a
+# randomly chosen sharding (1-D --devices, --comm=ring, or a 2-D --mesh2d).
+#
+#   fuzz-parity.sh [COUNT] [SEED]     (defaults: 5 configs, seed 20260818)
+#
+# Oracle binary: $NBODY_REF_BIN, default /root/reference/nbody/nbody-seq
+# (reference driver nbody-seq.c:386-499).  Without it the script reports
+# SKIPPED and exits 0 so harness callers stay green off this machine.
+# Configs draw N in [2, 256] and steps in [1, 500] — small enough that the
+# fp64 trig parity path stays a few seconds per run on one CPU core.
+set -u
+. "$(dirname "$0")/common.sh"
+
+COUNT="${1:-5}"
+SEED="${2:-20260818}"
+REFBIN="${NBODY_REF_BIN:-/root/reference/nbody/nbody-seq}"
+OUT="$REPO_ROOT/tests_out/fuzz"
+mkdir -p "$OUT"
+
+if [ ! -x "$REFBIN" ]; then
+  echo "SKIPPED: reference binary not found at $REFBIN"
+  exit 0
+fi
+
+ARENA_SRC=$(ensure_arena)
+# The reference binary mmaps its PPM argument O_RDWR (map_P6,
+# nbody-seq.c:171-304) — hand it a throwaway copy, never the repo's arena.
+cp "$ARENA_SRC" "$OUT/arena.ppm"
+
+fail=0
+while read -r N STEPS FLAGS; do
+  ref="$OUT/seq_${N}_${STEPS}.out"
+  if [ ! -f "$ref" ]; then
+    # Cache on success only: a crashed oracle run must not poison reruns.
+    if ! "$REFBIN" "$N" 0 "$OUT/arena.ppm" "$STEPS" 2>/dev/null > "$ref.tmp" \
+        || [ ! -s "$ref.tmp" ]; then
+      rm -f "$ref.tmp"
+      echo "ORACLE GENERATION FAILED: N=$N steps=$STEPS"
+      fail=1
+      continue
+    fi
+    mv "$ref.tmp" "$ref"
+  fi
+  base="$OUT/fuzz_${N}_${STEPS}_$(printf '%s' "$FLAGS" | tr ' =' '__')"
+  nbody_cpu "$N" 0 "$OUT/arena.ppm" "$STEPS" $FLAGS > "$base.out" 2> "$base.err"
+  if diff "$ref" "$base.out" > "$base.diff"; then
+    echo "STATUS=PASSED" >> "$base.out"
+    echo "PASSED N=$N steps=$STEPS $FLAGS"
+  else
+    echo "Status=FAILED" >> "$base.out"
+    echo "FAILED N=$N steps=$STEPS $FLAGS (see $base.diff)"
+    fail=1
+  fi
+done < <(python -c "
+import random, sys
+rng = random.Random(int(sys.argv[1]))
+for _ in range(int(sys.argv[2])):
+    n = rng.randint(2, 256)
+    steps = rng.randint(1, 500)
+    # Sharding must not oversubscribe: shards are capped by the body count
+    # (the CLI rejects devices > N with a friendly error by design).
+    mode = rng.choice(['devices', 'devices', 'ring', 'mesh2d'])
+    if mode == 'mesh2d' and n >= 16:
+        r = rng.choice([1, 2, 4])
+        flags = '--mesh2d=%dx%d' % (r, 8 // r)
+    elif mode == 'ring' and n >= 2:
+        flags = '--devices=%d --comm=ring' % rng.randint(2, min(8, n))
+    else:
+        flags = '--devices=%d' % rng.randint(1, min(8, n))
+    print(n, steps, flags)
+" "$SEED" "$COUNT")
+
+exit "$fail"
