@@ -27,18 +27,25 @@ import numpy as np
 # environments can hang jax.devices() indefinitely (no CPU burn, no error).
 # A hung benchmark records NOTHING; probing in a killable child and retrying
 # rides out short wedges and converts a long one into an error JSON line.
+# A CRASHED child (bad platform name, broken install) is deterministic —
+# it gets one quick retry for transient transport resets, not the full
+# wedge budget.
 _PROBE_ATTEMPTS = 8
 _PROBE_TIMEOUT_S = 90.0
 _PROBE_RETRY_SLEEP_S = 75.0
+_CRASH_ATTEMPTS = 2
+_CRASH_RETRY_SLEEP_S = 5.0
 
 
 def _backend_responsive(timeout_s=_PROBE_TIMEOUT_S):
-    """Return the default backend name if a trivial jit executes, else None.
+    """Return (backend_name, None) if a trivial jit executes, else (None, why).
 
-    Runs in a subprocess because a wedged device tunnel hangs inside the
-    platform plugin where no Python-level timeout can interrupt it — a child
-    process can simply be killed.  The child honors NBODY_PLATFORM /
-    JAX_PLATFORMS via jax.config exactly like the parent (cli.py:215-218).
+    why is "timeout" for a killed child (the wedged-transport signature) or
+    "crash: <stderr tail>" for a deterministic failure.  Runs in a subprocess
+    because a wedged device tunnel hangs inside the platform plugin where no
+    Python-level timeout can interrupt it — a child process can simply be
+    killed.  The child honors NBODY_PLATFORM / JAX_PLATFORMS via jax.config
+    exactly like the parent (cli.py:215-218).
     """
     code = (
         "import os, jax\n"
@@ -55,10 +62,11 @@ def _backend_responsive(timeout_s=_PROBE_TIMEOUT_S):
                               capture_output=True, text=True,
                               timeout=timeout_s)
     except subprocess.TimeoutExpired:
-        return None
+        return None, "timeout"
     if proc.returncode != 0 or not proc.stdout.strip():
-        return None
-    return proc.stdout.strip().splitlines()[-1]
+        tail = (proc.stderr or "").strip().splitlines()
+        return None, "crash: " + (tail[-1] if tail else "no stderr")
+    return proc.stdout.strip().splitlines()[-1], None
 
 
 def main():
@@ -68,19 +76,23 @@ def main():
     if requested:
         jax.config.update("jax_platforms", requested)
 
-    backend = _backend_responsive()
+    backend, why = _backend_responsive()
     attempts = 1
-    while backend is None and attempts < _PROBE_ATTEMPTS:
-        time.sleep(_PROBE_RETRY_SLEEP_S)
+    while backend is None:
+        budget = (_CRASH_ATTEMPTS if why.startswith("crash")
+                  else _PROBE_ATTEMPTS)
+        if attempts >= budget:
+            break
+        time.sleep(_CRASH_RETRY_SLEEP_S if why.startswith("crash")
+                   else _PROBE_RETRY_SLEEP_S)
         attempts += 1
-        backend = _backend_responsive()
+        backend, why = _backend_responsive()
     if backend is None:
+        hint = ("wedged device transport?" if why == "timeout"
+                else "deterministic probe failure")
         print(json.dumps({
             "error": "device backend unresponsive after %d probes "
-                     "(~%d s) — wedged device transport?"
-                     % (attempts,
-                        int(attempts * (_PROBE_TIMEOUT_S
-                                        + _PROBE_RETRY_SLEEP_S))),
+                     "(%s) — %s" % (attempts, why, hint),
         }))
         return 1
 

@@ -10,6 +10,8 @@
 # Oracle binary: $NBODY_REF_BIN, default /root/reference/nbody/nbody-seq
 # (reference driver nbody-seq.c:386-499).  Without it the script reports
 # SKIPPED and exits 0 so harness callers stay green off this machine.
+# Artifacts land in $NBODY_FUZZ_OUT (default tests_out/fuzz — the committed
+# sweep records; point tests elsewhere to avoid clobbering them).
 # Configs draw N in [2, 256] and steps in [1, 500] — small enough that the
 # fp64 trig parity path stays a few seconds per run on one CPU core.
 set -u
@@ -18,7 +20,9 @@ set -u
 COUNT="${1:-5}"
 SEED="${2:-20260818}"
 REFBIN="${NBODY_REF_BIN:-/root/reference/nbody/nbody-seq}"
-OUT="$REPO_ROOT/tests_out/fuzz"
+# Overridable so test runs don't clobber the committed sweep records (whose
+# .err files carry nondeterministic wall-clock timings).
+OUT="${NBODY_FUZZ_OUT:-$REPO_ROOT/tests_out/fuzz}"
 mkdir -p "$OUT"
 
 if [ ! -x "$REFBIN" ]; then
@@ -31,31 +35,11 @@ ARENA_SRC=$(ensure_arena)
 # nbody-seq.c:171-304) — hand it a throwaway copy, never the repo's arena.
 cp "$ARENA_SRC" "$OUT/arena.ppm"
 
-fail=0
-while read -r N STEPS FLAGS; do
-  ref="$OUT/seq_${N}_${STEPS}.out"
-  if [ ! -f "$ref" ]; then
-    # Cache on success only: a crashed oracle run must not poison reruns.
-    if ! "$REFBIN" "$N" 0 "$OUT/arena.ppm" "$STEPS" 2>/dev/null > "$ref.tmp" \
-        || [ ! -s "$ref.tmp" ]; then
-      rm -f "$ref.tmp"
-      echo "ORACLE GENERATION FAILED: N=$N steps=$STEPS"
-      fail=1
-      continue
-    fi
-    mv "$ref.tmp" "$ref"
-  fi
-  base="$OUT/fuzz_${N}_${STEPS}_$(printf '%s' "$FLAGS" | tr ' =' '__')"
-  nbody_cpu "$N" 0 "$OUT/arena.ppm" "$STEPS" $FLAGS > "$base.out" 2> "$base.err"
-  if diff "$ref" "$base.out" > "$base.diff"; then
-    echo "STATUS=PASSED" >> "$base.out"
-    echo "PASSED N=$N steps=$STEPS $FLAGS"
-  else
-    echo "Status=FAILED" >> "$base.out"
-    echo "FAILED N=$N steps=$STEPS $FLAGS (see $base.diff)"
-    fail=1
-  fi
-done < <(python -c "
+# Generate the config list up front so a broken generator (bad SEED/COUNT,
+# missing python) fails loudly instead of feeding the loop zero lines and
+# reporting a false green.
+CFGS="$OUT/.configs.$$"
+if ! python -c "
 import random, sys
 rng = random.Random(int(sys.argv[1]))
 for _ in range(int(sys.argv[2])):
@@ -72,6 +56,44 @@ for _ in range(int(sys.argv[2])):
     else:
         flags = '--devices=%d' % rng.randint(1, min(8, n))
     print(n, steps, flags)
-" "$SEED" "$COUNT")
+" "$SEED" "$COUNT" > "$CFGS"; then
+  rm -f "$CFGS"
+  echo "CONFIG GENERATION FAILED (seed=$SEED count=$COUNT)"
+  exit 1
+fi
+
+fail=0
+ran=0
+while read -r N STEPS FLAGS; do
+  ref="$OUT/seq_${N}_${STEPS}.out"
+  if [ ! -f "$ref" ]; then
+    # Cache on success only: a crashed oracle run must not poison reruns.
+    if ! "$REFBIN" "$N" 0 "$OUT/arena.ppm" "$STEPS" 2>/dev/null > "$ref.tmp" \
+        || [ ! -s "$ref.tmp" ]; then
+      rm -f "$ref.tmp"
+      echo "ORACLE GENERATION FAILED: N=$N steps=$STEPS"
+      fail=1
+      continue
+    fi
+    mv "$ref.tmp" "$ref"
+  fi
+  ran=$((ran + 1))
+  base="$OUT/fuzz_${N}_${STEPS}_$(printf '%s' "$FLAGS" | tr ' =' '__')"
+  nbody_cpu "$N" 0 "$OUT/arena.ppm" "$STEPS" $FLAGS > "$base.out" 2> "$base.err"
+  if diff "$ref" "$base.out" > "$base.diff"; then
+    echo "STATUS=PASSED" >> "$base.out"
+    echo "PASSED N=$N steps=$STEPS $FLAGS"
+  else
+    echo "Status=FAILED" >> "$base.out"
+    echo "FAILED N=$N steps=$STEPS $FLAGS (see $base.diff)"
+    fail=1
+  fi
+done < "$CFGS"
+rm -f "$CFGS"
+
+if [ "$ran" -ne "$COUNT" ]; then
+  echo "CONFIG COUNT MISMATCH: ran $ran of $COUNT"
+  fail=1
+fi
 
 exit "$fail"

@@ -15,17 +15,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFBIN = "/root/reference/nbody/nbody-seq"
 
 
-def _run_fuzz(count, seed):
+def _run_fuzz(count, seed, out_dir, timeout=900):
+    # NBODY_FUZZ_OUT keeps test artifacts (whose .err files carry
+    # nondeterministic timings) out of the committed tests_out/fuzz records.
+    env = dict(os.environ)
+    env["NBODY_FUZZ_OUT"] = str(out_dir)
     return subprocess.run(
         ["bash", os.path.join(REPO, "bin", "fuzz-parity.sh"),
          str(count), str(seed)],
-        capture_output=True, text=True, timeout=900, cwd=REPO)
+        capture_output=True, text=True, timeout=timeout, cwd=REPO, env=env)
 
 
-def test_fuzz_parity_two_random_configs():
+@pytest.mark.slow
+def test_fuzz_parity_two_random_configs(tmp_path):
     if not os.access(REFBIN, os.X_OK):
         pytest.skip("reference checkout unavailable")
-    proc = _run_fuzz(2, 918273)
+    proc = _run_fuzz(2, 918273, tmp_path)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     lines = [l for l in proc.stdout.splitlines() if l.startswith("PASSED")]
     assert len(lines) == 2, proc.stdout + proc.stderr
@@ -34,8 +39,19 @@ def test_fuzz_parity_two_random_configs():
 def test_fuzz_skips_cleanly_without_reference(tmp_path):
     env = dict(os.environ)
     env["NBODY_REF_BIN"] = str(tmp_path / "missing-binary")
+    env["NBODY_FUZZ_OUT"] = str(tmp_path / "out")
     proc = subprocess.run(
         ["bash", os.path.join(REPO, "bin", "fuzz-parity.sh"), "1", "1"],
         capture_output=True, text=True, timeout=120, cwd=REPO, env=env)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "SKIPPED" in proc.stdout
+
+
+def test_fuzz_fails_loudly_on_broken_config_generator(tmp_path):
+    # A generator crash (non-numeric seed) must be a loud exit-1, not a
+    # zero-config loop that reports success having tested nothing.
+    if not os.access(REFBIN, os.X_OK):
+        pytest.skip("reference checkout unavailable")
+    proc = _run_fuzz(1, "notanumber", tmp_path, timeout=120)
+    assert proc.returncode == 1, proc.stdout + proc.stderr
+    assert "CONFIG GENERATION FAILED" in proc.stdout
