@@ -13,17 +13,24 @@
 # STEPS steps) through the reference's doubles vs our fp64 trig engine + the
 # native mmap blit (native/nbody_host.cpp).
 #
-#   render-parity.sh [STEPS]          (default: 3)
+#   render-parity.sh [STEPS] [FLAGS...]   (default: 3 steps, single device;
+#                                          FLAGS, e.g. --devices=4, select a
+#                                          sharded engine path — frames then
+#                                          render from gathered shard state
+#                                          on an 8-virtual-device CPU mesh)
 #
 # Oracle binary: $NBODY_REF_BIN, default /root/reference/nbody/nbody-seq.
 # Without it the script reports SKIPPED and exits 0.  Artifacts land in
 # $NBODY_RENDER_OUT (default tests_out/render_parity — committed records;
-# point test runs elsewhere).  The arena is a small 128x96 P6 so the
-# reference's O(pixels*bodies) rasterizer stays a fraction of the step time.
+# point test runs elsewhere), one file set per (STEPS, FLAGS) config.  The
+# arena is a small 128x96 P6 so the reference's O(pixels*bodies) rasterizer
+# stays a fraction of the step time.
 set -u
 . "$(dirname "$0")/common.sh"
 
 STEPS="${1:-3}"
+[ "$#" -gt 0 ] && shift
+FLAGS=("$@")
 N=10000
 REFBIN="${NBODY_REF_BIN:-/root/reference/nbody/nbody-seq}"
 OUT="${NBODY_RENDER_OUT:-$REPO_ROOT/tests_out/render_parity}"
@@ -34,34 +41,39 @@ if [ ! -x "$REFBIN" ]; then
   exit 0
 fi
 
+TAG="s${STEPS}$(printf '%s' "${FLAGS[*]:-}" | tr -d ' ' | tr '=-' '__')"
+
 # Blank 128x96 P6 arena; each engine gets its own copy (both mutate it —
 # the reference mmaps O_RDWR, ours blits through native/libnbody_host.so).
 python -c "
 from parallel_nbody_tpu.utils import ppm
-ppm.create('$OUT/ref.ppm', 128, 96)
-import shutil; shutil.copy('$OUT/ref.ppm', '$OUT/ours.ppm')
+ppm.create('$OUT/ref_$TAG.ppm', 128, 96)
+import shutil; shutil.copy('$OUT/ref_$TAG.ppm', '$OUT/ours_$TAG.ppm')
 " || exit 1
 
 fail=0
-"$REFBIN" "$N" 1 "$OUT/ref.ppm" "$STEPS" > "$OUT/ref.out" 2> "$OUT/ref.err" \
+"$REFBIN" "$N" 1 "$OUT/ref_$TAG.ppm" "$STEPS" \
+  > "$OUT/ref_$TAG.out" 2> "$OUT/ref_$TAG.err" \
   || { echo "REFERENCE RUN FAILED"; exit 1; }
-# Parity configuration: single device, CPU fp64 trig (the CLI defaults).
-NBODY_PLATFORM=cpu python -m parallel_nbody_tpu.cli \
-  "$N" 1 "$OUT/ours.ppm" "$STEPS" > "$OUT/ours.out" 2> "$OUT/ours.err" \
-  || { echo "ENGINE RUN FAILED (see $OUT/ours.err)"; exit 1; }
+# Parity configuration: CPU fp64 trig (the CLI defaults); nbody_cpu provides
+# the 8-virtual-device CPU mesh so --devices/--mesh2d FLAGS shard for real.
+nbody_cpu "$N" 1 "$OUT/ours_$TAG.ppm" "$STEPS" ${FLAGS[@]+"${FLAGS[@]}"} \
+  > "$OUT/ours_$TAG.out" 2> "$OUT/ours_$TAG.err" \
+  || { echo "ENGINE RUN FAILED (see $OUT/ours_$TAG.err)"; exit 1; }
 
-if cmp -s "$OUT/ref.ppm" "$OUT/ours.ppm"; then
-  echo "PASSED ppm N=$N steps=$STEPS ($(md5sum < "$OUT/ref.ppm" | cut -d' ' -f1))"
+if cmp -s "$OUT/ref_$TAG.ppm" "$OUT/ours_$TAG.ppm"; then
+  echo "PASSED ppm N=$N steps=$STEPS ${FLAGS[*]:-} ($(md5sum < "$OUT/ref_$TAG.ppm" | cut -d' ' -f1))"
 else
-  echo "FAILED ppm: rendered frames differ (cmp $OUT/ref.ppm $OUT/ours.ppm)"
+  echo "FAILED ppm: rendered frames differ (cmp $OUT/ref_$TAG.ppm $OUT/ours_$TAG.ppm)"
   fail=1
 fi
-if diff "$OUT/ref.out" "$OUT/ours.out" > "$OUT/stdout.diff"; then
+if diff "$OUT/ref_$TAG.out" "$OUT/ours_$TAG.out" > "$OUT/stdout_$TAG.diff"; then
   echo "PASSED stdout"
 else
-  echo "FAILED stdout (see $OUT/stdout.diff)"
+  echo "FAILED stdout (see $OUT/stdout_$TAG.diff)"
   fail=1
 fi
-[ "$fail" -eq 0 ] && echo "STATUS=PASSED" > "$OUT/STATUS" || echo "STATUS=FAILED" > "$OUT/STATUS"
+[ "$fail" -eq 0 ] && echo "STATUS=PASSED" > "$OUT/STATUS_$TAG" \
+                  || echo "STATUS=FAILED" > "$OUT/STATUS_$TAG"
 
 exit "$fail"

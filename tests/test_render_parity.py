@@ -27,12 +27,14 @@ def _run(args, out_dir, timeout):
 
 
 @pytest.mark.slow
-def test_render_parity_vs_reference_binary(tmp_path):
+@pytest.mark.parametrize("flags", [[], ["--devices=2"]])
+def test_render_parity_vs_reference_binary(tmp_path, flags):
     if not os.access(REFBIN, os.X_OK):
         pytest.skip("reference checkout unavailable")
     # 2 steps keeps the N=10000 fp64 trig engine run under a minute while
-    # still exercising a moving-body re-render over the first frame.
-    proc = _run(["2"], tmp_path, timeout=1200)
+    # still exercising a moving-body re-render over the first frame; the
+    # sharded case renders from gathered shard state.
+    proc = _run(["2"] + flags, tmp_path, timeout=1200)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "PASSED ppm" in proc.stdout, proc.stdout + proc.stderr
     assert "PASSED stdout" in proc.stdout, proc.stdout + proc.stderr
