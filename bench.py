@@ -76,17 +76,26 @@ def main():
     if requested:
         jax.config.update("jax_platforms", requested)
 
+    # Per-reason budgets: a late transient crash after timeout attempts
+    # still gets its quick retry, and a late wedge after a crash still gets
+    # the remaining long-probe budget.
     backend, why = _backend_responsive()
-    attempts = 1
+    timeouts = int(why == "timeout")
+    crashes = 1 - timeouts if backend is None else 0
     while backend is None:
-        budget = (_CRASH_ATTEMPTS if why.startswith("crash")
-                  else _PROBE_ATTEMPTS)
-        if attempts >= budget:
-            break
-        time.sleep(_CRASH_RETRY_SLEEP_S if why.startswith("crash")
-                   else _PROBE_RETRY_SLEEP_S)
-        attempts += 1
+        if why == "timeout":
+            if timeouts >= _PROBE_ATTEMPTS:
+                break
+            time.sleep(_PROBE_RETRY_SLEEP_S)
+        else:
+            if crashes >= _CRASH_ATTEMPTS:
+                break
+            time.sleep(_CRASH_RETRY_SLEEP_S)
         backend, why = _backend_responsive()
+        if backend is None:
+            timeouts += int(why == "timeout")
+            crashes += int(why != "timeout")
+    attempts = timeouts + crashes
     if backend is None:
         hint = ("wedged device transport?" if why == "timeout"
                 else "deterministic probe failure")

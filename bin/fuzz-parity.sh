@@ -38,7 +38,8 @@ cp "$ARENA_SRC" "$OUT/arena.ppm"
 # Generate the config list up front so a broken generator (bad SEED/COUNT,
 # missing python) fails loudly instead of feeding the loop zero lines and
 # reporting a false green.
-CFGS="$OUT/.configs.$$"
+CFGS="$(mktemp /tmp/fuzz_configs.XXXXXX)" || exit 1
+trap 'rm -f "$CFGS"' EXIT
 if ! python -c "
 import random, sys
 rng = random.Random(int(sys.argv[1]))
@@ -57,7 +58,6 @@ for _ in range(int(sys.argv[2])):
         flags = '--devices=%d' % rng.randint(1, min(8, n))
     print(n, steps, flags)
 " "$SEED" "$COUNT" > "$CFGS"; then
-  rm -f "$CFGS"
   echo "CONFIG GENERATION FAILED (seed=$SEED count=$COUNT)"
   exit 1
 fi
@@ -84,12 +84,12 @@ while read -r N STEPS FLAGS; do
     echo "STATUS=PASSED" >> "$base.out"
     echo "PASSED N=$N steps=$STEPS $FLAGS"
   else
+    # Casing matches bin/tests.sh's marker, which bin/failed-tests.sh greps.
     echo "Status=FAILED" >> "$base.out"
     echo "FAILED N=$N steps=$STEPS $FLAGS (see $base.diff)"
     fail=1
   fi
 done < "$CFGS"
-rm -f "$CFGS"
 
 if [ "$ran" -ne "$COUNT" ]; then
   echo "CONFIG COUNT MISMATCH: ran $ran of $COUNT"

@@ -29,6 +29,13 @@ set -u
 . "$(dirname "$0")/common.sh"
 
 STEPS="${1:-3}"
+case "$STEPS" in
+  ''|*[!0-9]*|0)
+    # A flags-only invocation (`render-parity.sh --devices=4`) must not
+    # silently become a 0-step single-device run recorded as PASSED.
+    echo "usage: render-parity.sh [STEPS >= 1] [FLAGS...] (got STEPS='$STEPS')"
+    exit 2 ;;
+esac
 [ "$#" -gt 0 ] && shift
 FLAGS=("$@")
 N=10000
@@ -43,13 +50,18 @@ fi
 
 TAG="s${STEPS}$(printf '%s' "${FLAGS[*]:-}" | tr -d ' ' | tr '=-' '__')"
 
+# Any early exit below must not leave a stale PASSED from a previous run
+# beside freshly overwritten artifacts.
+echo "STATUS=FAILED" > "$OUT/STATUS_$TAG"
+
 # Blank 128x96 P6 arena; each engine gets its own copy (both mutate it —
 # the reference mmaps O_RDWR, ours blits through native/libnbody_host.so).
-python -c "
+python - "$OUT/ref_$TAG.ppm" "$OUT/ours_$TAG.ppm" <<'PY' || exit 1
+import shutil, sys
 from parallel_nbody_tpu.utils import ppm
-ppm.create('$OUT/ref_$TAG.ppm', 128, 96)
-import shutil; shutil.copy('$OUT/ref_$TAG.ppm', '$OUT/ours_$TAG.ppm')
-" || exit 1
+ppm.create(sys.argv[1], 128, 96)
+shutil.copy(sys.argv[1], sys.argv[2])
+PY
 
 fail=0
 "$REFBIN" "$N" 1 "$OUT/ref_$TAG.ppm" "$STEPS" \
@@ -60,6 +72,21 @@ fail=0
 nbody_cpu "$N" 1 "$OUT/ours_$TAG.ppm" "$STEPS" ${FLAGS[@]+"${FLAGS[@]}"} \
   > "$OUT/ours_$TAG.out" 2> "$OUT/ours_$TAG.err" \
   || { echo "ENGINE RUN FAILED (see $OUT/ours_$TAG.err)"; exit 1; }
+
+# Enforce the determinism premise before trusting the byte-diff: both
+# engines render on their own wall clock, so every step must take well over
+# secs_per_update=1 s (integer-second elapsed check) on BOTH engines or one
+# may skip the final frame.  ~2 s/step average is the safe proxy; on a box
+# fast enough to break it the comparison is INCONCLUSIVE, not failed.
+ref_t=$(sed -n 's/.*N-body took: \([0-9.]*\) seconds.*/\1/p' "$OUT/ref_$TAG.err")
+our_t=$(sed -n 's/.*N-body took: \([0-9.]*\) seconds.*/\1/p' "$OUT/ours_$TAG.err")
+if [ -z "$ref_t" ] || [ -z "$our_t" ] || \
+   ! awk -v r="$ref_t" -v o="$our_t" -v s="$STEPS" \
+       'BEGIN { exit !(r/s >= 2.0 && o/s >= 2.0) }'; then
+  echo "SKIPPED: cadence premise unmet (ref ${ref_t:-?} s, ours ${our_t:-?} s for $STEPS steps; need >= 2 s/step both)"
+  echo "STATUS=SKIPPED" > "$OUT/STATUS_$TAG"
+  exit 0
+fi
 
 if cmp -s "$OUT/ref_$TAG.ppm" "$OUT/ours_$TAG.ppm"; then
   echo "PASSED ppm N=$N steps=$STEPS ${FLAGS[*]:-} ($(md5sum < "$OUT/ref_$TAG.ppm" | cut -d' ' -f1))"

@@ -36,6 +36,10 @@ def test_render_parity_vs_reference_binary(tmp_path, flags):
     # sharded case renders from gathered shard state.
     proc = _run(["2"] + flags, tmp_path, timeout=1200)
     assert proc.returncode == 0, proc.stdout + proc.stderr
+    if "SKIPPED: cadence premise unmet" in proc.stdout:
+        # A box fast enough to step N=10000 in under ~2 s/step breaks the
+        # deterministic-frame premise; the comparison is inconclusive there.
+        pytest.skip(proc.stdout.strip().splitlines()[-1])
     assert "PASSED ppm" in proc.stdout, proc.stdout + proc.stderr
     assert "PASSED stdout" in proc.stdout, proc.stdout + proc.stderr
 
