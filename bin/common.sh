@@ -39,3 +39,19 @@ ppm.create('$path', 1024, 768)
   fi
   echo "$path"
 }
+
+# Cache-on-success golden-output generation from the reference binary: a
+# crashed oracle run must not poison reruns (used by the fuzz harnesses).
+#   fuzz_oracle REFBIN ARENA OUTDIR N STEPS   -> prints cached path; rc=1 on failure
+fuzz_oracle() {
+  local ref="$3/seq_${4}_${5}.out"
+  if [ ! -f "$ref" ]; then
+    if ! "$1" "$4" 0 "$2" "$5" 2>/dev/null > "$ref.tmp" \
+        || [ ! -s "$ref.tmp" ]; then
+      rm -f "$ref.tmp"
+      return 1
+    fi
+    mv "$ref.tmp" "$ref"
+  fi
+  echo "$ref"
+}

@@ -40,24 +40,8 @@ cp "$ARENA_SRC" "$OUT/arena.ppm"
 # reporting a false green.
 CFGS="$(mktemp /tmp/fuzz_configs.XXXXXX)" || exit 1
 trap 'rm -f "$CFGS"' EXIT
-if ! python -c "
-import random, sys
-rng = random.Random(int(sys.argv[1]))
-for _ in range(int(sys.argv[2])):
-    n = rng.randint(2, 256)
-    steps = rng.randint(1, 500)
-    # Sharding must not oversubscribe: shards are capped by the body count
-    # (the CLI rejects devices > N with a friendly error by design).
-    mode = rng.choice(['devices', 'devices', 'ring', 'mesh2d'])
-    if mode == 'mesh2d' and n >= 16:
-        r = rng.choice([1, 2, 4])
-        flags = '--mesh2d=%dx%d' % (r, 8 // r)
-    elif mode == 'ring' and n >= 2:
-        flags = '--devices=%d --comm=ring' % rng.randint(2, min(8, n))
-    else:
-        flags = '--devices=%d' % rng.randint(1, min(8, n))
-    print(n, steps, flags)
-" "$SEED" "$COUNT" > "$CFGS"; then
+if ! python "$(dirname "$0")/fuzz_gen.py" parity "$SEED" "$COUNT" > "$CFGS"
+then
   echo "CONFIG GENERATION FAILED (seed=$SEED count=$COUNT)"
   exit 1
 fi
@@ -65,17 +49,10 @@ fi
 fail=0
 ran=0
 while read -r N STEPS FLAGS; do
-  ref="$OUT/seq_${N}_${STEPS}.out"
-  if [ ! -f "$ref" ]; then
-    # Cache on success only: a crashed oracle run must not poison reruns.
-    if ! "$REFBIN" "$N" 0 "$OUT/arena.ppm" "$STEPS" 2>/dev/null > "$ref.tmp" \
-        || [ ! -s "$ref.tmp" ]; then
-      rm -f "$ref.tmp"
-      echo "ORACLE GENERATION FAILED: N=$N steps=$STEPS"
-      fail=1
-      continue
-    fi
-    mv "$ref.tmp" "$ref"
+  if ! ref=$(fuzz_oracle "$REFBIN" "$OUT/arena.ppm" "$OUT" "$N" "$STEPS"); then
+    echo "ORACLE GENERATION FAILED: N=$N steps=$STEPS"
+    fail=1
+    continue
   fi
   ran=$((ran + 1))
   base="$OUT/fuzz_${N}_${STEPS}_$(printf '%s' "$FLAGS" | tr ' =' '__')"

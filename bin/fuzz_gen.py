@@ -1,0 +1,56 @@
+"""Seeded config generators shared by the fuzz harnesses (bin/fuzz-*.sh).
+
+One generator per harness kind, one RNG stream per seed: the draw ORDER here
+is load-bearing — the committed sweep records in tests_out/fuzz* were
+produced from these exact sequences, so a reordered draw silently changes
+what a recorded seed covers.
+
+    python bin/fuzz_gen.py parity SEED COUNT   # lines: N STEPS FLAGS...
+    python bin/fuzz_gen.py resume SEED COUNT   # lines: N TOTAL SPLIT FMT F1 F2
+
+Sharding constraints mirror the CLI's: shards are capped by the body count
+(the CLI rejects devices > N with a friendly error by design), and the 2-D
+mesh needs N >= 16 so every row/col group owns at least one body.
+"""
+
+import random
+import sys
+
+
+def sharding(rng, n):
+    mode = rng.choice(['devices', 'devices', 'ring', 'mesh2d'])
+    if mode == 'mesh2d' and n >= 16:
+        r = rng.choice([1, 2, 4])
+        return '--mesh2d=%dx%d' % (r, 8 // r)
+    if mode == 'ring' and n >= 2:
+        return '--devices=%d --comm=ring' % rng.randint(2, min(8, n))
+    return '--devices=%d' % rng.randint(1, min(8, n))
+
+
+def main():
+    kind, seed, count = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    rng = random.Random(seed)
+    for _ in range(count):
+        if kind == 'parity':
+            # Small enough that the fp64 trig parity path stays a few
+            # seconds per run on one CPU core.
+            n = rng.randint(2, 256)
+            steps = rng.randint(1, 500)
+            print(n, steps, sharding(rng, n))
+        elif kind == 'resume':
+            # Tighter than parity: each config costs THREE fp64 trig runs
+            # (reference oracle + two engine legs).
+            n = rng.randint(2, 200)
+            total = rng.randint(2, 300)
+            split = rng.randint(1, total - 1)
+            fmt = rng.choice(['npz', 'orbax'])
+            # One config line; legs' flags are | -separated (no spaces).
+            print(n, total, split, fmt,
+                  sharding(rng, n).replace(' ', '|'),
+                  sharding(rng, n).replace(' ', '|'))
+        else:
+            raise SystemExit('unknown generator kind: %r' % kind)
+
+
+if __name__ == '__main__':
+    main()

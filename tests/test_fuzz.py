@@ -15,14 +15,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFBIN = "/root/reference/nbody/nbody-seq"
 
 
-def _run_fuzz(count, seed, out_dir, timeout=900):
+def _run_fuzz(count, seed, out_dir, timeout=900, script="fuzz-parity.sh"):
     # NBODY_FUZZ_OUT keeps test artifacts (whose .err files carry
-    # nondeterministic timings) out of the committed tests_out/fuzz records.
+    # nondeterministic timings) out of the committed tests_out/fuzz* records.
     env = dict(os.environ)
     env["NBODY_FUZZ_OUT"] = str(out_dir)
     return subprocess.run(
-        ["bash", os.path.join(REPO, "bin", "fuzz-parity.sh"),
-         str(count), str(seed)],
+        ["bash", os.path.join(REPO, "bin", script), str(count), str(seed)],
         capture_output=True, text=True, timeout=timeout, cwd=REPO, env=env)
 
 
@@ -34,6 +33,30 @@ def test_fuzz_parity_two_random_configs(tmp_path):
     assert proc.returncode == 0, proc.stdout + proc.stderr
     lines = [l for l in proc.stdout.splitlines() if l.startswith("PASSED")]
     assert len(lines) == 2, proc.stdout + proc.stderr
+
+
+@pytest.mark.slow
+def test_fuzz_resume_two_random_configs(tmp_path):
+    """bin/fuzz-resume.sh — checkpoint at a random split step under one
+    random sharding, resume under another, byte-diff BOTH legs against the
+    reference binary's uninterrupted runs."""
+    if not os.access(REFBIN, os.X_OK):
+        pytest.skip("reference checkout unavailable")
+    proc = _run_fuzz(2, 42, tmp_path, timeout=1200, script="fuzz-resume.sh")
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("PASSED")]
+    assert len(lines) == 2, proc.stdout + proc.stderr
+
+
+def test_fuzz_resume_skips_cleanly_without_reference(tmp_path):
+    env = dict(os.environ)
+    env["NBODY_REF_BIN"] = str(tmp_path / "missing-binary")
+    env["NBODY_FUZZ_OUT"] = str(tmp_path / "out")
+    proc = subprocess.run(
+        ["bash", os.path.join(REPO, "bin", "fuzz-resume.sh"), "1", "1"],
+        capture_output=True, text=True, timeout=120, cwd=REPO, env=env)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "SKIPPED" in proc.stdout
 
 
 def test_fuzz_skips_cleanly_without_reference(tmp_path):
