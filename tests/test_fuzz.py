@@ -70,6 +70,62 @@ def test_fuzz_skips_cleanly_without_reference(tmp_path):
     assert "SKIPPED" in proc.stdout
 
 
+# The committed sweep records were produced from exactly these generator
+# streams (bin/fuzz_gen.py draw order is load-bearing — see its docstring).
+# The 918273x2 parity entry is an early test invocation that recorded into
+# the sweep directory before NBODY_FUZZ_OUT redirection existed; it is part
+# of the record and must stay reproducible like the deliberate sweeps.
+PARITY_SWEEPS = [(20260818, 5), (42, 20), (777, 30), (918273, 2)]
+RESUME_SWEEPS = [(20260818, 12)]
+
+
+def _gen(kind, seed, count):
+    out = subprocess.check_output(
+        ["python", os.path.join(REPO, "bin", "fuzz_gen.py"),
+         kind, str(seed), str(count)], text=True)
+    return [line.split() for line in out.splitlines()]
+
+
+def _mangle(s):
+    # Mirrors the harness scripts' `tr ' =' '__'` (and fuzz-resume's
+    # pre-substitution of '|' separators back to spaces).
+    return s.replace("|", " ").replace(" ", "_").replace("=", "_")
+
+
+def test_recorded_sweeps_reproducible_from_generator_streams():
+    """Every committed sweep artifact maps 1:1 onto the generator streams
+    above, and every recorded diff (both legs, for resume) is empty.  Fails
+    if fuzz_gen.py's draw order changes, a record goes stale, or an
+    unexplained artifact appears in the sweep directories."""
+    expected = set()
+    for seed, count in PARITY_SWEEPS:
+        for n, steps, *flags in _gen("parity", seed, count):
+            expected.add("fuzz_%s_%s_%s" % (n, steps, _mangle(" ".join(flags))))
+    recorded = {f[:-5] for f in os.listdir(os.path.join(REPO, "tests_out", "fuzz"))
+                if f.endswith(".diff")}
+    assert recorded == expected, (sorted(recorded - expected),
+                                  sorted(expected - recorded))
+
+    expected = set()
+    for n, total, split, fmt, f1, f2 in [c for s, c_ in RESUME_SWEEPS
+                                         for c in _gen("resume", s, c_)]:
+        expected.add("resume_%s_%sof%s_%s_%s_%s"
+                     % (n, split, total, fmt, _mangle(f1), _mangle(f2)))
+    resume_dir = os.path.join(REPO, "tests_out", "fuzz_resume")
+    recorded = {f[:-5] for f in os.listdir(resume_dir)
+                if f.endswith(".diff") and not f.endswith(".leg1.diff")}
+    assert recorded == expected, (sorted(recorded - expected),
+                                  sorted(expected - recorded))
+    for base in recorded:  # resume records carry a second, leg-1 diff
+        assert os.path.exists(os.path.join(resume_dir, base + ".leg1.diff"))
+
+    for d in ("fuzz", "fuzz_resume"):
+        for f in os.listdir(os.path.join(REPO, "tests_out", d)):
+            if f.endswith(".diff"):
+                path = os.path.join(REPO, "tests_out", d, f)
+                assert os.path.getsize(path) == 0, "non-empty diff: " + path
+
+
 def test_fuzz_fails_loudly_on_broken_config_generator(tmp_path):
     # A generator crash (non-numeric seed) must be a loud exit-1, not a
     # zero-config loop that reports success having tested nothing.
