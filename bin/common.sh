@@ -42,11 +42,13 @@ ppm.create('$path', 1024, 768)
 
 # Cache-on-success golden-output generation from the reference binary: a
 # crashed oracle run must not poison reruns (used by the fuzz harnesses).
+# stdin comes from /dev/null so a caller's `while read` config stream can
+# never be swallowed by the child.
 #   fuzz_oracle REFBIN ARENA OUTDIR N STEPS   -> prints cached path; rc=1 on failure
 fuzz_oracle() {
   local ref="$3/seq_${4}_${5}.out"
   if [ ! -f "$ref" ]; then
-    if ! "$1" "$4" 0 "$2" "$5" 2>/dev/null > "$ref.tmp" \
+    if ! "$1" "$4" 0 "$2" "$5" < /dev/null 2>/dev/null > "$ref.tmp" \
         || [ ! -s "$ref.tmp" ]; then
       rm -f "$ref.tmp"
       return 1
@@ -54,4 +56,50 @@ fuzz_oracle() {
     mv "$ref.tmp" "$ref"
   fi
   echo "$ref"
+}
+
+# Shared scaffolding for the fuzz harnesses (fuzz-parity.sh, fuzz-resume.sh):
+# resolve the oracle binary and artifact dir, SKIP cleanly when the reference
+# checkout is absent, hand the reference binary a throwaway arena copy (it
+# mmaps its PPM argument O_RDWR — map_P6, nbody-seq.c:171-304), and generate
+# the config list up front so a broken generator fails loudly instead of
+# feeding the loop zero lines and reporting a false green.
+#   fuzz_setup KIND COUNT SEED DEFAULT_OUT_SUBDIR
+# Sets REFBIN, OUT, CFGS.  Installs an EXIT trap that removes $CFGS plus
+# whatever paths the caller has put in FUZZ_SCRATCH at that moment (e.g. an
+# in-flight checkpoint when the run is interrupted mid-config).
+fuzz_setup() {
+  local kind="$1" count="$2" seed="$3" subdir="$4"
+  REFBIN="${NBODY_REF_BIN:-/root/reference/nbody/nbody-seq}"
+  # OUT is overridable so test runs don't clobber the committed sweep records
+  # (whose .err files carry nondeterministic wall-clock timings).
+  OUT="${NBODY_FUZZ_OUT:-$REPO_ROOT/tests_out/$subdir}"
+  mkdir -p "$OUT"
+  if [ ! -x "$REFBIN" ]; then
+    echo "SKIPPED: reference binary not found at $REFBIN"
+    exit 0
+  fi
+  local arena_src
+  arena_src=$(ensure_arena)
+  cp "$arena_src" "$OUT/arena.ppm"
+  CFGS="$(mktemp "/tmp/fuzz_${kind}_configs.XXXXXX")" || exit 1
+  FUZZ_SCRATCH=""
+  # FUZZ_SCRATCH is deliberately unquoted: it may hold several paths (none
+  # contain whitespace — basenames mangle flags through `tr ' =' '__'`).
+  trap 'rm -rf "$CFGS" $FUZZ_SCRATCH' EXIT
+  if ! python "$REPO_ROOT/bin/fuzz_gen.py" "$kind" "$seed" "$count" > "$CFGS"
+  then
+    echo "CONFIG GENERATION FAILED (seed=$seed count=$count)"
+    exit 1
+  fi
+}
+
+# Count guard shared by the fuzz loops: a partially consumed config stream
+# must fail the run even if every config that DID run passed.
+#   fuzz_check_count RAN EXPECTED   -> rc=1 + message on mismatch
+fuzz_check_count() {
+  if [ "$1" -ne "$2" ]; then
+    echo "CONFIG COUNT MISMATCH: ran $1 of $2"
+    return 1
+  fi
 }

@@ -19,32 +19,7 @@ set -u
 
 COUNT="${1:-5}"
 SEED="${2:-20260818}"
-REFBIN="${NBODY_REF_BIN:-/root/reference/nbody/nbody-seq}"
-# Overridable so test runs don't clobber the committed sweep records (whose
-# .err files carry nondeterministic wall-clock timings).
-OUT="${NBODY_FUZZ_OUT:-$REPO_ROOT/tests_out/fuzz}"
-mkdir -p "$OUT"
-
-if [ ! -x "$REFBIN" ]; then
-  echo "SKIPPED: reference binary not found at $REFBIN"
-  exit 0
-fi
-
-ARENA_SRC=$(ensure_arena)
-# The reference binary mmaps its PPM argument O_RDWR (map_P6,
-# nbody-seq.c:171-304) — hand it a throwaway copy, never the repo's arena.
-cp "$ARENA_SRC" "$OUT/arena.ppm"
-
-# Generate the config list up front so a broken generator (bad SEED/COUNT,
-# missing python) fails loudly instead of feeding the loop zero lines and
-# reporting a false green.
-CFGS="$(mktemp /tmp/fuzz_configs.XXXXXX)" || exit 1
-trap 'rm -f "$CFGS"' EXIT
-if ! python "$(dirname "$0")/fuzz_gen.py" parity "$SEED" "$COUNT" > "$CFGS"
-then
-  echo "CONFIG GENERATION FAILED (seed=$SEED count=$COUNT)"
-  exit 1
-fi
+fuzz_setup parity "$COUNT" "$SEED" fuzz   # sets REFBIN, OUT, CFGS
 
 fail=0
 ran=0
@@ -56,7 +31,8 @@ while read -r N STEPS FLAGS; do
   fi
   ran=$((ran + 1))
   base="$OUT/fuzz_${N}_${STEPS}_$(printf '%s' "$FLAGS" | tr ' =' '__')"
-  nbody_cpu "$N" 0 "$OUT/arena.ppm" "$STEPS" $FLAGS > "$base.out" 2> "$base.err"
+  nbody_cpu "$N" 0 "$OUT/arena.ppm" "$STEPS" $FLAGS \
+    < /dev/null > "$base.out" 2> "$base.err"
   if diff "$ref" "$base.out" > "$base.diff"; then
     echo "STATUS=PASSED" >> "$base.out"
     echo "PASSED N=$N steps=$STEPS $FLAGS"
@@ -68,9 +44,5 @@ while read -r N STEPS FLAGS; do
   fi
 done < "$CFGS"
 
-if [ "$ran" -ne "$COUNT" ]; then
-  echo "CONFIG COUNT MISMATCH: ran $ran of $COUNT"
-  fail=1
-fi
-
+fuzz_check_count "$ran" "$COUNT" || fail=1
 exit "$fail"

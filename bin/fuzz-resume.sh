@@ -14,37 +14,14 @@
 # Without it the script reports SKIPPED and exits 0 so harness callers stay
 # green off this machine.  Artifacts land in $NBODY_FUZZ_OUT (default
 # tests_out/fuzz_resume — the committed sweep records; point tests elsewhere
-# to avoid clobbering them).
+# to avoid clobbering them).  Steps stay small: each config costs THREE fp64
+# trig runs (reference oracle + two engine legs).
 set -u
 . "$(dirname "$0")/common.sh"
 
 COUNT="${1:-5}"
 SEED="${2:-20260818}"
-REFBIN="${NBODY_REF_BIN:-/root/reference/nbody/nbody-seq}"
-OUT="${NBODY_FUZZ_OUT:-$REPO_ROOT/tests_out/fuzz_resume}"
-mkdir -p "$OUT"
-
-if [ ! -x "$REFBIN" ]; then
-  echo "SKIPPED: reference binary not found at $REFBIN"
-  exit 0
-fi
-
-ARENA_SRC=$(ensure_arena)
-# The reference binary mmaps its PPM argument O_RDWR (map_P6,
-# nbody-seq.c:171-304) — hand it a throwaway copy, never the repo's arena.
-cp "$ARENA_SRC" "$OUT/arena.ppm"
-
-# Configs up front so a broken generator fails loudly instead of feeding the
-# loop zero lines and reporting a false green (same contract as
-# fuzz-parity.sh).  Steps stay small: each config costs THREE fp64 trig runs
-# (reference oracle + two engine legs).
-CFGS="$(mktemp /tmp/fuzz_resume_configs.XXXXXX)" || exit 1
-trap 'rm -f "$CFGS"' EXIT
-if ! python "$(dirname "$0")/fuzz_gen.py" resume "$SEED" "$COUNT" > "$CFGS"
-then
-  echo "CONFIG GENERATION FAILED (seed=$SEED count=$COUNT)"
-  exit 1
-fi
+fuzz_setup resume "$COUNT" "$SEED" fuzz_resume   # sets REFBIN, OUT, CFGS
 
 fail=0
 ran=0
@@ -65,12 +42,15 @@ while read -r N TOTAL SPLIT FMT FLAGS1 FLAGS2; do
     printf '%s_%s' "$FLAGS1" "$FLAGS2" | tr ' =' '__')"
   ck="$base.ck"
   [ "$FMT" = npz ] && ck="$ck.npz"
+  # Register the checkpoint with the EXIT trap (fuzz_setup) so an interrupt
+  # mid-config can't leave un-ignored Orbax litter in the sweep directory.
+  FUZZ_SCRATCH="$base.ck $base.ck.npz"
   rm -rf "$base.ck" "$base.ck.npz"
 
   nbody_cpu "$N" 0 "$OUT/arena.ppm" "$SPLIT" $FLAGS1 --checkpoint="$ck" \
-    > "$base.leg1.out" 2> "$base.leg1.err"
+    < /dev/null > "$base.leg1.out" 2> "$base.leg1.err"
   nbody_cpu "$N" 0 "$OUT/arena.ppm" "$TOTAL" $FLAGS2 --resume="$ck" \
-    > "$base.out" 2> "$base.err"
+    < /dev/null > "$base.out" 2> "$base.err"
 
   # Both diffs run unconditionally: a leg1 mismatch must not leave a stale
   # or missing leg2 diff behind the FAILED pointer.
@@ -87,11 +67,8 @@ while read -r N TOTAL SPLIT FMT FLAGS1 FLAGS2; do
     fail=1
   fi
   rm -rf "$base.ck" "$base.ck.npz"  # checkpoints are large and reproducible
+  FUZZ_SCRATCH=""
 done < "$CFGS"
 
-if [ "$ran" -ne "$COUNT" ]; then
-  echo "CONFIG COUNT MISMATCH: ran $ran of $COUNT"
-  fail=1
-fi
-
+fuzz_check_count "$ran" "$COUNT" || fail=1
 exit "$fail"

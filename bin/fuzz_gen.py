@@ -29,6 +29,13 @@ def sharding(rng, n):
 
 def main():
     kind, seed, count = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    # Validate BEFORE the loop: a typo'd kind with count=0 must still be a
+    # loud nonzero exit, never an empty-but-successful config stream (the
+    # harnesses' fail-loudly contract).
+    if kind not in ('parity', 'resume'):
+        raise SystemExit('unknown generator kind: %r' % kind)
+    if count <= 0:
+        raise SystemExit('config count must be positive, got %d' % count)
     rng = random.Random(seed)
     for _ in range(count):
         if kind == 'parity':
@@ -37,7 +44,7 @@ def main():
             n = rng.randint(2, 256)
             steps = rng.randint(1, 500)
             print(n, steps, sharding(rng, n))
-        elif kind == 'resume':
+        else:  # resume
             # Tighter than parity: each config costs THREE fp64 trig runs
             # (reference oracle + two engine legs).
             n = rng.randint(2, 200)
@@ -48,8 +55,6 @@ def main():
             print(n, total, split, fmt,
                   sharding(rng, n).replace(' ', '|'),
                   sharding(rng, n).replace(' ', '|'))
-        else:
-            raise SystemExit('unknown generator kind: %r' % kind)
 
 
 if __name__ == '__main__':

@@ -39,10 +39,19 @@ def test_fuzz_parity_two_random_configs(tmp_path):
 def test_fuzz_resume_two_random_configs(tmp_path):
     """bin/fuzz-resume.sh — checkpoint at a random split step under one
     random sharding, resume under another, byte-diff BOTH legs against the
-    reference binary's uninterrupted runs."""
+    reference binary's uninterrupted runs.
+
+    Seed 2 is chosen deliberately: its two configs cover BOTH checkpoint
+    formats (orbax then npz) and both pipe-joined flag shapes (a
+    --comm=ring leg and --mesh2d legs), so the harness's npz-suffix branch
+    and its '|'->' ' flag substitution are exercised live, not just via the
+    recorded sweeps."""
     if not os.access(REFBIN, os.X_OK):
         pytest.skip("reference checkout unavailable")
-    proc = _run_fuzz(2, 42, tmp_path, timeout=1200, script="fuzz-resume.sh")
+    cfgs = _gen("resume", 2, 2)
+    assert {c[3] for c in cfgs} == {"npz", "orbax"}
+    assert any("|" in c[4] or "|" in c[5] for c in cfgs)
+    proc = _run_fuzz(2, 2, tmp_path, timeout=1200, script="fuzz-resume.sh")
     assert proc.returncode == 0, proc.stdout + proc.stderr
     lines = [l for l in proc.stdout.splitlines() if l.startswith("PASSED")]
     assert len(lines) == 2, proc.stdout + proc.stderr
@@ -94,30 +103,36 @@ def _mangle(s):
 
 def test_recorded_sweeps_reproducible_from_generator_streams():
     """Every committed sweep artifact maps 1:1 onto the generator streams
-    above, and every recorded diff (both legs, for resume) is empty.  Fails
-    if fuzz_gen.py's draw order changes, a record goes stale, or an
-    unexplained artifact appears in the sweep directories."""
+    above, the directories hold NOTHING ELSE (stray checkpoints, orphan
+    diffs, leftover junk all fail), and every recorded diff (both legs, for
+    resume) is empty.  Fails if fuzz_gen.py's draw order changes, a record
+    goes stale, or an unexplained artifact appears."""
     expected = set()
     for seed, count in PARITY_SWEEPS:
         for n, steps, *flags in _gen("parity", seed, count):
-            expected.add("fuzz_%s_%s_%s" % (n, steps, _mangle(" ".join(flags))))
-    recorded = {f[:-5] for f in os.listdir(os.path.join(REPO, "tests_out", "fuzz"))
-                if f.endswith(".diff")}
-    assert recorded == expected, (sorted(recorded - expected),
-                                  sorted(expected - recorded))
+            base = "fuzz_%s_%s_%s" % (n, steps, _mangle(" ".join(flags)))
+            expected.update(base + ext for ext in (".out", ".err", ".diff"))
+            expected.add("seq_%s_%s.out" % (n, steps))  # cached oracle
+    actual = set(os.listdir(os.path.join(REPO, "tests_out", "fuzz")))
+    # The harness's throwaway arena copy is gitignored but present on any
+    # machine that has actually run a sweep.
+    actual.discard("arena.ppm")
+    assert actual == expected, (sorted(actual - expected),
+                                sorted(expected - actual))
 
     expected = set()
     for n, total, split, fmt, f1, f2 in [c for s, c_ in RESUME_SWEEPS
                                          for c in _gen("resume", s, c_)]:
-        expected.add("resume_%s_%sof%s_%s_%s_%s"
-                     % (n, split, total, fmt, _mangle(f1), _mangle(f2)))
-    resume_dir = os.path.join(REPO, "tests_out", "fuzz_resume")
-    recorded = {f[:-5] for f in os.listdir(resume_dir)
-                if f.endswith(".diff") and not f.endswith(".leg1.diff")}
-    assert recorded == expected, (sorted(recorded - expected),
-                                  sorted(expected - recorded))
-    for base in recorded:  # resume records carry a second, leg-1 diff
-        assert os.path.exists(os.path.join(resume_dir, base + ".leg1.diff"))
+        base = ("resume_%s_%sof%s_%s_%s_%s"
+                % (n, split, total, fmt, _mangle(f1), _mangle(f2)))
+        expected.update(base + ext for ext in (
+            ".out", ".err", ".diff", ".leg1.out", ".leg1.err", ".leg1.diff"))
+        expected.add("seq_%s_%s.out" % (n, split))
+        expected.add("seq_%s_%s.out" % (n, total))
+    actual = set(os.listdir(os.path.join(REPO, "tests_out", "fuzz_resume")))
+    actual.discard("arena.ppm")
+    assert actual == expected, (sorted(actual - expected),
+                                sorted(expected - actual))
 
     for d in ("fuzz", "fuzz_resume"):
         for f in os.listdir(os.path.join(REPO, "tests_out", d)):
@@ -134,3 +149,15 @@ def test_fuzz_fails_loudly_on_broken_config_generator(tmp_path):
     proc = _run_fuzz(1, "notanumber", tmp_path, timeout=120)
     assert proc.returncode == 1, proc.stdout + proc.stderr
     assert "CONFIG GENERATION FAILED" in proc.stdout
+
+
+def test_fuzz_gen_validates_before_generating():
+    # A typo'd kind or a zero count must be a nonzero exit even when the
+    # loop would produce no lines (validation happens BEFORE the loop).
+    for argv in (["parityy", "1", "0"], ["parityy", "1", "2"],
+                 ["parity", "1", "0"], ["resume", "1", "-3"]):
+        proc = subprocess.run(
+            ["python", os.path.join(REPO, "bin", "fuzz_gen.py")] + argv,
+            capture_output=True, text=True, timeout=60)
+        assert proc.returncode != 0, argv
+        assert proc.stdout == "", argv
