@@ -84,8 +84,9 @@ def test_fuzz_skips_cleanly_without_reference(tmp_path):
 # The 918273x2 parity entry is an early test invocation that recorded into
 # the sweep directory before NBODY_FUZZ_OUT redirection existed; it is part
 # of the record and must stay reproducible like the deliberate sweeps.
-PARITY_SWEEPS = [(20260818, 5), (42, 20), (777, 30), (918273, 2), (2026, 8)]
-RESUME_SWEEPS = [(20260818, 12), (2026, 4)]
+PARITY_SWEEPS = [(20260818, 5), (42, 20), (777, 30), (918273, 2), (2026, 8),
+                 (31337, 12)]
+RESUME_SWEEPS = [(20260818, 12), (2026, 4), (31337, 5)]
 
 
 def _gen(kind, seed, count):
