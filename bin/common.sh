@@ -46,10 +46,13 @@ ppm.create('$path', 1024, 768)
 # never be swallowed by the child.
 #   fuzz_oracle REFBIN ARENA OUTDIR N STEPS   -> prints cached path; rc=1 on failure
 fuzz_oracle() {
-  local ref="$3/seq_${4}_${5}.out"
+  # Named locals up front: the oracle invocation below reorders the
+  # positional args, which is easy to miswire at call sites otherwise.
+  local refbin="$1" arena="$2" outdir="$3" n="$4" steps="$5"
+  local ref="$outdir/seq_${n}_${steps}.out"
   if [ ! -f "$ref" ]; then
-    if ! "$1" "$4" 0 "$2" "$5" < /dev/null 2>/dev/null > "$ref.tmp" \
-        || [ ! -s "$ref.tmp" ]; then
+    if ! "$refbin" "$n" 0 "$arena" "$steps" < /dev/null 2>/dev/null \
+        > "$ref.tmp" || [ ! -s "$ref.tmp" ]; then
       rm -f "$ref.tmp"
       return 1
     fi
@@ -83,10 +86,11 @@ fuzz_setup() {
   arena_src=$(ensure_arena)
   cp "$arena_src" "$OUT/arena.ppm"
   CFGS="$(mktemp "/tmp/fuzz_${kind}_configs.XXXXXX")" || exit 1
-  FUZZ_SCRATCH=""
-  # FUZZ_SCRATCH is deliberately unquoted: it may hold several paths (none
-  # contain whitespace — basenames mangle flags through `tr ' =' '__'`).
-  trap 'rm -rf "$CFGS" $FUZZ_SCRATCH' EXIT
+  # Bash array, expanded quoted in the trap: scratch paths include $OUT, so
+  # an NBODY_FUZZ_OUT containing whitespace/glob characters must not
+  # word-split or glob the rm -rf targets.
+  FUZZ_SCRATCH=()
+  trap 'rm -rf "$CFGS" "${FUZZ_SCRATCH[@]}"' EXIT
   if ! python "$REPO_ROOT/bin/fuzz_gen.py" "$kind" "$seed" "$count" > "$CFGS"
   then
     echo "CONFIG GENERATION FAILED (seed=$seed count=$count)"

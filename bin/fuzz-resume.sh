@@ -44,7 +44,7 @@ while read -r N TOTAL SPLIT FMT FLAGS1 FLAGS2; do
   [ "$FMT" = npz ] && ck="$ck.npz"
   # Register the checkpoint with the EXIT trap (fuzz_setup) so an interrupt
   # mid-config can't leave un-ignored Orbax litter in the sweep directory.
-  FUZZ_SCRATCH="$base.ck $base.ck.npz"
+  FUZZ_SCRATCH=("$base.ck" "$base.ck.npz")
   rm -rf "$base.ck" "$base.ck.npz"
 
   nbody_cpu "$N" 0 "$OUT/arena.ppm" "$SPLIT" $FLAGS1 --checkpoint="$ck" \
@@ -67,7 +67,7 @@ while read -r N TOTAL SPLIT FMT FLAGS1 FLAGS2; do
     fail=1
   fi
   rm -rf "$base.ck" "$base.ck.npz"  # checkpoints are large and reproducible
-  FUZZ_SCRATCH=""
+  FUZZ_SCRATCH=()
 done < "$CFGS"
 
 fuzz_check_count "$ran" "$COUNT" || fail=1

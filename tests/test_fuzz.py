@@ -35,23 +35,31 @@ def test_fuzz_parity_two_random_configs(tmp_path):
     assert len(lines) == 2, proc.stdout + proc.stderr
 
 
+def _pick_resume_seed():
+    """Find a seed whose 2-config resume draw covers BOTH checkpoint
+    formats (npz and orbax) AND at least one pipe-joined flag pair, so the
+    harness's npz-suffix branch and its '|'->' ' flag substitution are both
+    exercised live.  Searching (instead of hardcoding a seed) keeps the
+    test robust to future changes in fuzz_gen's draw order."""
+    for seed in range(1, 64):
+        cfgs = _gen("resume", seed, 2)
+        if ({c[3] for c in cfgs} == {"npz", "orbax"}
+                and any("|" in c[4] or "|" in c[5] for c in cfgs)):
+            return seed
+    pytest.fail("no seed in 1..63 gives 2 resume configs covering both "
+                "checkpoint formats plus a pipe-joined flag pair; widen "
+                "the search range or relax the coverage predicate")
+
+
 @pytest.mark.slow
 def test_fuzz_resume_two_random_configs(tmp_path):
     """bin/fuzz-resume.sh — checkpoint at a random split step under one
     random sharding, resume under another, byte-diff BOTH legs against the
-    reference binary's uninterrupted runs.
-
-    Seed 2 is chosen deliberately: its two configs cover BOTH checkpoint
-    formats (orbax then npz) and both pipe-joined flag shapes (a
-    --comm=ring leg and --mesh2d legs), so the harness's npz-suffix branch
-    and its '|'->' ' flag substitution are exercised live, not just via the
-    recorded sweeps."""
+    reference binary's uninterrupted runs."""
     if not os.access(REFBIN, os.X_OK):
         pytest.skip("reference checkout unavailable")
-    cfgs = _gen("resume", 2, 2)
-    assert {c[3] for c in cfgs} == {"npz", "orbax"}
-    assert any("|" in c[4] or "|" in c[5] for c in cfgs)
-    proc = _run_fuzz(2, 2, tmp_path, timeout=1200, script="fuzz-resume.sh")
+    seed = _pick_resume_seed()
+    proc = _run_fuzz(2, seed, tmp_path, timeout=1200, script="fuzz-resume.sh")
     assert proc.returncode == 0, proc.stdout + proc.stderr
     lines = [l for l in proc.stdout.splitlines() if l.startswith("PASSED")]
     assert len(lines) == 2, proc.stdout + proc.stderr
