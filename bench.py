@@ -118,6 +118,11 @@ def main():
         # CI/debug fallback: tiny config so the benchmark still runs.
         n, steps = 4096, 10
         cfg = cfg.replace(kernel="xla")
+    # Deliberate-slowdown knob for the perf regression gate's sabotage
+    # proof (benchmarks/perf_gate.py): force a non-optimal square tile.
+    tile = int(os.environ.get("NBODY_BENCH_TILE", "0"))
+    if tile and cfg.kernel == "pallas":
+        cfg = cfg.replace(tile_i=tile, tile_j=tile)
 
     state = random_state(n, cfg, jax.random.PRNGKey(0))
 

@@ -13,8 +13,10 @@ plus TPU-era extensions (all optional, order-free):
                       (O(N/sqrt(P)) per-step comm; overrides --comm)
     --fast            transcendental-free force path (fp32/TPU speed path)
     --pallas          use the Pallas VMEM-tiled force kernel (implies --fast)
-    --dtype=T         float16 | bfloat16 | float32 | float64 (default:
-                      float64 on CPU, float32 on TPU)
+    --dtype=T         bfloat16 | float32 | float64 (default: float64 on
+                      CPU, float32 on TPU).  float16 is rejected: the
+                      reference mass law (mass = radius^3) overflows its
+                      65504 max — see docs/DESIGN.md "dtype support matrix"
     --accum=MODE      "plain" (default) or "compensated" (Kahan-compensated
                       partial sums in the Pallas force kernels — the
                       fp64-emulated accumulation option; see
@@ -148,10 +150,22 @@ def parse_args(argv):
             opts["pallas"] = True
         elif a.startswith("--dtype="):
             opts["dtype"] = a.split("=", 1)[1]
-            if opts["dtype"] not in ("float16", "bfloat16", "float32",
-                                     "float64"):
-                sys.stderr.write("Bad --dtype value (expected float16, "
-                                 "bfloat16, float32 or float64): %s\n" % a)
+            if opts["dtype"] == "float16":
+                # Rejected at parse time, not at first NaN: the reference
+                # mass law mass = radius^3 (nbody-seq.c:444-447) exceeds
+                # float16's 65504 max for any N >= 8 at the default arena,
+                # and the pairwise force's mass_i*mass_j product overflows
+                # it at EVERY N — a float16 run can only print NaNs.
+                sys.stderr.write(
+                    "--dtype=float16 is unsupported: the reference mass "
+                    "law (mass = radius^3) overflows float16's 65504 max, "
+                    "so every step would be NaN. Use --dtype=bfloat16 for "
+                    "16-bit runs (see docs/DESIGN.md, dtype support "
+                    "matrix).\n")
+                sys.exit(1)
+            if opts["dtype"] not in ("bfloat16", "float32", "float64"):
+                sys.stderr.write("Bad --dtype value (expected bfloat16, "
+                                 "float32 or float64): %s\n" % a)
                 sys.exit(1)
         elif a.startswith("--accum="):
             opts["accum"] = a.split("=", 1)[1]

@@ -71,6 +71,18 @@ class SimConfig:
                 "kernel='pallas' implements only force_mode='fast' (the "
                 "transcendental-free path); the trig parity decomposition "
                 "(nbody-seq.c:91-98) requires kernel='xla'")
+        if self.dtype == "float16":
+            raise ValueError(
+                "dtype='float16' is unsupported: the reference mass law "
+                "mass = radius^3 (nbody-seq.c:444-447) exceeds float16's "
+                "65504 max for any N >= 8 at the default arena, and the "
+                "force kernel's mass_i*mass_j product overflows it at every "
+                "N — use 'bfloat16' for 16-bit runs (same exponent range as "
+                "float32; see docs/DESIGN.md, dtype support matrix)")
+        if self.dtype not in ("bfloat16", "float32", "float64"):
+            raise ValueError(
+                "unsupported dtype %r (expected bfloat16, float32 or "
+                "float64)" % (self.dtype,))
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)

@@ -40,6 +40,24 @@ class State(NamedTuple):
         return self.x.shape[0]
 
 
+def _checked_cast(arr: np.ndarray, dtype, name: str) -> np.ndarray:
+    """Cast a finite float64 init array to the run dtype, failing LOUDLY if
+    the cast overflows to inf (a run whose inputs are already non-finite can
+    only print NaNs with exit code 0 — the silent-garbage failure mode the
+    dtype envelope exists to prevent)."""
+    with np.errstate(over="ignore"):  # the inf IS the signal; raise below
+        out = np.asarray(arr, dtype=np.float64).astype(dtype)
+    bad = ~np.isfinite(out.astype(np.float64)) & np.isfinite(arr)
+    if bad.any():
+        i = int(np.argmax(bad))
+        raise ValueError(
+            "initial %s[%d] = %r overflows dtype %s (finite max %r); this "
+            "dtype cannot represent the reference init law at this N/arena "
+            "— use a wider dtype" % (name, i, float(arr[i]), np.dtype(dtype),
+                                     float(np.finfo(dtype).max)))
+    return out
+
+
 def init_state(n: int, cfg: SimConfig, seed: int = SEED) -> State:
     """Reference-parity initialization (glibc rand replica; see
     utils/glibc_rand.py and nbody/nbody-seq.c:440-449)."""
@@ -47,6 +65,8 @@ def init_state(n: int, cfg: SimConfig, seed: int = SEED) -> State:
         n, cfg.xdim, cfg.ydim, seed
     )
     dtype = jnp.dtype(cfg.dtype)
+    mass = _checked_cast(mass, dtype, "mass")
+    radius = _checked_cast(radius, dtype, "radius")
     zeros = np.zeros(n, dtype=np.float64)
     return State(
         x=jnp.asarray(x, dtype),

@@ -107,19 +107,26 @@ def load_state_orbax(path: str, cfg: SimConfig, sharding=None,
     import orbax.checkpoint as ocp
 
     dtype = jnp.dtype(cfg.dtype)
+    # restore_args must mirror the SAVED tree exactly — build the scalar
+    # entries from the checkpoint's own metadata so older checkpoints
+    # (saved without "n_real") stay resumable.
+    meta = meta_tree if meta_tree is not None else orbax_metadata_tree(path)
+    restore_args = {k: ocp.RestoreArgs() for k in meta if k != "state"}
     with ocp.PyTreeCheckpointer() as ckptr:
         if sharding is None:
-            tree = ckptr.restore(os.path.abspath(path))
+            # Explicit host-numpy restore: without restore_args Orbax falls
+            # back to a default that warns "restoring without sharding info
+            # ... unsafe when restoring on a different topology".  Plain
+            # numpy IS the intent here (the caller re-shards afterwards), so
+            # say so rather than lean on the unsafe default.
+            restore_args["state"] = {
+                f: ocp.RestoreArgs(restore_type=np.ndarray)
+                for f in meta["state"]}
+            tree = ckptr.restore(os.path.abspath(path),
+                                 restore_args=restore_args)
             state = State(*(jnp.asarray(tree["state"][f], dtype)
                             for f in _FIELDS))
         else:
-            # restore_args must mirror the SAVED tree exactly — build the
-            # scalar entries from the checkpoint's own metadata so older
-            # checkpoints (saved without "n_real") stay resumable.
-            meta = (meta_tree if meta_tree is not None
-                    else orbax_metadata_tree(path))
-            restore_args = {
-                k: ocp.RestoreArgs() for k in meta if k != "state"}
             restore_args["state"] = {
                 f: ocp.ArrayRestoreArgs(sharding=sharding, dtype=dtype)
                 for f in _FIELDS}
