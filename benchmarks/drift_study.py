@@ -1,5 +1,6 @@
 """BASELINE config 3: N=64K long-run energy-drift study — fp32 plain vs
-fp32 compensated (Kahan) accumulation vs the CPU fp64 oracle (VERDICT r3 #2).
+fp32 compensated (Kahan) accumulation vs the CPU fp64 oracle (VERDICT r3 #2),
+plus the end-to-end bfloat16 precision column (VERDICT r4 #8).
 
 Three measurements, all at N=65536 from the glibc init:
 
@@ -11,6 +12,14 @@ Three measurements, all at N=65536 from the glibc init:
      energy evaluated in fp64 on the CPU (chunked O(N^2) PE) at steps
      0 / 2500 / 5000; drift = |E_t - E_0| / |E_0|.
   3. cost: per-step wall time plain vs compensated on hardware.
+
+The ``bfloat16`` mode runs the same three measurements with the WHOLE state
+in bf16 (the TPU-native 16-bit type; float16 is rejected at config time —
+see docs/DESIGN.md's dtype matrix).  Because bf16 cannot represent the
+glibc init exactly (integers above 256 round under an 8-bit mantissa), its
+force oracle and E0 are evaluated on the bf16-QUANTIZED inputs cast up to
+fp64 — isolating kernel error from input quantization, which is reported
+separately as ``init_quantization``.
 
 Like benchmarks/hw_validate.py, the TPU phase (fp32/x32) and the CPU oracle
 phase (fp64/x64) are separate processes (x64 is process-global).  Results in
@@ -44,10 +53,16 @@ OUT_JSON = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "drift_study.json")
 
 
-def _cfg32(accum):
+MODES = ("plain", "compensated", "bfloat16")
+
+
+def _cfg(mode):
     from parallel_nbody_tpu.config import SimConfig
+    if mode == "bfloat16":
+        return SimConfig(force_mode="fast", dtype="bfloat16",
+                         kernel="pallas")
     return SimConfig(force_mode="fast", dtype="float32", kernel="pallas",
-                     accum=accum)
+                     accum=mode)
 
 
 def hardware_phase() -> dict:
@@ -64,23 +79,30 @@ def hardware_phase() -> dict:
     out = {}
     info = {"device": str(jax.devices()[0]), "timings": {}}
     print("hw phase: init N=%d" % N, flush=True)
-    st0 = init_state(N, _cfg32("plain"))
+    st0 = init_state(N, _cfg("plain"))
     for f in ("x", "y", "xv", "yv", "mass", "radius"):
         out["s0_" + f] = np.asarray(getattr(st0, f))
+    # The bf16 column runs from ITS OWN init (the glibc values quantize
+    # under an 8-bit mantissa); save the quantized state cast up so the
+    # oracle can evaluate on exactly what the hardware integrated.
+    st0b = init_state(N, _cfg("bfloat16"))
+    for f in ("x", "y", "xv", "yv", "mass", "radius"):
+        out["s0b_" + f] = np.asarray(getattr(st0b, f), np.float32)
 
-    for accum in ("plain", "compensated"):
-        cfg = _cfg32(accum)
+    for mode in MODES:
+        cfg = _cfg(mode)
+        st_init = st0b if mode == "bfloat16" else st0
 
         # 1. force operator on the init state (rows checked by the oracle).
         fx, fy = jax.jit(lambda s, c=cfg: pallas_forces(
-            c, s.x, s.y, s.mass, s.radius, accum=c.accum))(st0)
-        out["f0x_" + accum] = np.asarray(fx)[:ORACLE_ROWS]
-        out["f0y_" + accum] = np.asarray(fy)[:ORACLE_ROWS]
-        print("forces(%s) done" % accum, flush=True)
+            c, s.x, s.y, s.mass, s.radius, accum=c.accum))(st_init)
+        out["f0x_" + mode] = np.asarray(fx, np.float32)[:ORACLE_ROWS]
+        out["f0y_" + mode] = np.asarray(fy, np.float32)[:ORACLE_ROWS]
+        print("forces(%s) done" % mode, flush=True)
 
         # 3. per-step cost: queued chunks, one completion fence, best of 3.
-        ex = run.lower(cfg, st0, CHUNK).compile()
-        stw = ex(st0)
+        ex = run.lower(cfg, st_init, CHUNK).compile()
+        stw = ex(st_init)
         _ = np.asarray(stw.x[:1])  # warm + fence
         best = float("inf")
         for _rep in range(3):
@@ -90,10 +112,10 @@ def hardware_phase() -> dict:
                 s = ex(s)
             _ = np.asarray(s.x[:1])
             best = min(best, (time.time() - t0) / (2 * CHUNK))
-        info["timings"][accum] = best
+        info["timings"][mode] = best
 
         # 2. long-run trajectory with energy snapshots.
-        st = st0
+        st = st_init
         done = 0
         t0 = time.time()
         for target in ENERGY_AT:
@@ -102,10 +124,10 @@ def hardware_phase() -> dict:
                 done += CHUNK
             _ = np.asarray(st.x[:1])
             for f in ("x", "y", "xv", "yv"):
-                out["s%d_%s_%s" % (target, accum, f)] = np.asarray(
-                    getattr(st, f))
+                out["s%d_%s_%s" % (target, mode, f)] = np.asarray(
+                    getattr(st, f), np.float32)
         print("%s: %d steps in %.1f s (%.2f ms/step best)"
-              % (accum, STEPS, time.time() - t0, best * 1e3), flush=True)
+              % (mode, STEPS, time.time() - t0, best * 1e3), flush=True)
 
     np.savez(STATE_NPZ, **out)
     return {**info, "skipped": False}
@@ -125,12 +147,27 @@ def oracle_phase() -> dict:
     z = np.load(STATE_NPZ)
     cfg = SimConfig(force_mode="fast", dtype="float64", kernel="xla")
     g = cfg.gravity
-    mass = jnp.asarray(z["s0_mass"], jnp.float64)
-    radius = jnp.asarray(z["s0_radius"], jnp.float64)
+
+    def f64(key):
+        return jnp.asarray(z[key], jnp.float64)
+
+    # Two input sets: the fp32 init (exact glibc values) and the bf16 init
+    # (quantized under an 8-bit mantissa) — each mode's oracle evaluates on
+    # exactly what its hardware run integrated.
+    inputs = {
+        "fp32": (f64("s0_x"), f64("s0_y"), f64("s0_mass"),
+                 f64("s0_radius")),
+        "bf16": (f64("s0b_x"), f64("s0b_y"), f64("s0b_mass"),
+                 f64("s0b_radius")),
+    }
+    init_quant = {
+        k + "_max_abs": float(np.abs(np.asarray(inputs["bf16"][i])
+                                     - np.asarray(inputs["fp32"][i])).max())
+        for i, k in enumerate(("x", "y", "mass"))}
 
     # --- fp64 force oracle over the leading rows -------------------------
     @jax.jit
-    def force_rows(x, y, r0):
+    def force_rows(x, y, mass, radius, r0):
         xi = jax.lax.dynamic_slice_in_dim(x, r0, ROW_CHUNK)
         yi = jax.lax.dynamic_slice_in_dim(y, r0, ROW_CHUNK)
         mi = jax.lax.dynamic_slice_in_dim(mass, r0, ROW_CHUNK)
@@ -138,29 +175,30 @@ def oracle_phase() -> dict:
         return forces_on_block(cfg, xi, yi, mi, ri, x, y, mass, radius,
                                same_block=False, gi0=r0, gj0=0)
 
-    x0 = jnp.asarray(z["s0_x"], jnp.float64)
-    y0 = jnp.asarray(z["s0_y"], jnp.float64)
-    t0 = time.time()
-    wx, wy = [], []
-    for r0 in range(0, ORACLE_ROWS, ROW_CHUNK):
-        fx, fy = force_rows(x0, y0, r0)
-        wx.append(np.asarray(fx))
-        wy.append(np.asarray(fy))
-    wx, wy = np.concatenate(wx), np.concatenate(wy)
-    print("fp64 force oracle (%d x %d) in %.1f s"
-          % (ORACLE_ROWS, N, time.time() - t0), flush=True)
+    oracle_f = {}
+    for key, (x0, y0, m0, r0_) in inputs.items():
+        t0 = time.time()
+        wx, wy = [], []
+        for r0 in range(0, ORACLE_ROWS, ROW_CHUNK):
+            fx, fy = force_rows(x0, y0, m0, r0_, r0)
+            wx.append(np.asarray(fx))
+            wy.append(np.asarray(fy))
+        oracle_f[key] = (np.concatenate(wx), np.concatenate(wy))
+        print("fp64 force oracle[%s] (%d x %d) in %.1f s"
+              % (key, ORACLE_ROWS, N, time.time() - t0), flush=True)
 
     force_err = {}
-    for accum in ("plain", "compensated"):
-        dx = np.abs(z["f0x_" + accum].astype(np.float64) - wx)
-        dy = np.abs(z["f0y_" + accum].astype(np.float64) - wy)
+    for mode in MODES:
+        wx, wy = oracle_f["bf16" if mode == "bfloat16" else "fp32"]
+        dx = np.abs(z["f0x_" + mode].astype(np.float64) - wx)
+        dy = np.abs(z["f0y_" + mode].astype(np.float64) - wy)
         rel = np.maximum(dx / (np.abs(wx) + 1.0), dy / (np.abs(wy) + 1.0))
-        force_err[accum] = {"max_rel": float(rel.max()),
-                            "mean_rel": float(rel.mean())}
+        force_err[mode] = {"max_rel": float(rel.max()),
+                           "mean_rel": float(rel.mean())}
 
     # --- fp64 total energy (chunked) -------------------------------------
     @jax.jit
-    def energy_rows(x, y, xv, yv, r0):
+    def energy_rows(x, y, xv, yv, mass, radius, r0):
         xi = jax.lax.dynamic_slice_in_dim(x, r0, ROW_CHUNK)
         yi = jax.lax.dynamic_slice_in_dim(y, r0, ROW_CHUNK)
         mi = jax.lax.dynamic_slice_in_dim(mass, r0, ROW_CHUNK)
@@ -179,29 +217,32 @@ def oracle_phase() -> dict:
         ke = 0.5 * jnp.sum(mi * (vxi**2 + vyi**2))
         return ke + 0.5 * jnp.sum(pe)  # each unordered pair counted twice
 
-    def energy(tag, accum):
-        pre = "s0_" if tag == 0 else "s%d_%s_" % (tag, accum)
-        x = jnp.asarray(z[pre + "x"], jnp.float64)
-        y = jnp.asarray(z[pre + "y"], jnp.float64)
-        xv = jnp.asarray(z[pre + "xv"], jnp.float64)
-        yv = jnp.asarray(z[pre + "yv"], jnp.float64)
+    def energy(tag, mode):
+        bf = mode == "bfloat16"
+        pre = ("s0b_" if bf else "s0_") if tag == 0 \
+            else "s%d_%s_" % (tag, mode)
+        _, _, m0, r0_ = inputs["bf16" if bf else "fp32"]
+        x, y = f64(pre + "x"), f64(pre + "y")
+        xv, yv = f64(pre + "xv"), f64(pre + "yv")
         total = 0.0
         for r0 in range(0, N, ROW_CHUNK):
-            total += float(energy_rows(x, y, xv, yv, r0))
+            total += float(energy_rows(x, y, xv, yv, m0, r0_, r0))
         return total
 
     t0 = time.time()
-    e0 = energy(0, "plain")
+    e0 = {"fp32": energy(0, "plain"), "bf16": energy(0, "bfloat16")}
     drift = {}
-    for accum in ("plain", "compensated"):
-        drift[accum] = {"E0": e0}
+    for mode in MODES:
+        base = e0["bf16" if mode == "bfloat16" else "fp32"]
+        drift[mode] = {"E0": base}
         for tag in ENERGY_AT[1:]:
-            et = energy(tag, accum)
-            drift[accum]["E%d" % tag] = et
-            drift[accum]["drift_%d" % tag] = abs(et - e0) / abs(e0)
+            et = energy(tag, mode)
+            drift[mode]["E%d" % tag] = et
+            drift[mode]["drift_%d" % tag] = abs(et - base) / abs(base)
     print("fp64 energies in %.1f s" % (time.time() - t0), flush=True)
 
     return {"force_operator_vs_fp64": force_err, "energy": drift,
+            "init_quantization": init_quant,
             "n": N, "steps": STEPS, "oracle_rows": ORACLE_ROWS}
 
 

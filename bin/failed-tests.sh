@@ -7,6 +7,7 @@ REPO_ROOT="$(cd "$(dirname "$0")/.." && pwd)"
 if grep -l "Status=FAILED" \
     "$REPO_ROOT"/tests_out/*_mynbody.test.out \
     "$REPO_ROOT"/tests_out/fuzz/*.out \
+    "$REPO_ROOT"/tests_out/fuzz_v2/*.out \
     "$REPO_ROOT"/tests_out/fuzz_resume/*.out 2>/dev/null; then
   exit 1
 fi

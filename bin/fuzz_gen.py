@@ -7,6 +7,16 @@ what a recorded seed covers.
 
     python bin/fuzz_gen.py parity SEED COUNT   # lines: N STEPS FLAGS...
     python bin/fuzz_gen.py resume SEED COUNT   # lines: N TOTAL SPLIT FMT F1 F2
+    python bin/fuzz_gen.py parity2 SEED COUNT  # lines: N STEPS PROCS FLAGS...
+
+``parity2`` (VERDICT r4 #3) extends the parity draw with the two axes the
+original generator fixed: the KERNEL VARIANT (trig default / --fast /
+--pallas — all three print byte-identical fp64 output, proven by the
+recorded NP-grid) and the PROCESS COUNT (PROCS=2 configs run under the
+2-process jax.distributed launcher, bin/multihost-cli.sh, so the
+distributed runtime's rank-0 output is fuzz-diffed against the reference
+binary).  It is a NEW kind rather than a change to ``parity`` because the
+committed tests_out/fuzz records pin the original stream byte-for-byte.
 
 Sharding constraints mirror the CLI's: shards are capped by the body count
 (the CLI rejects devices > N with a friendly error by design), and the 2-D
@@ -32,7 +42,7 @@ def main():
     # Validate BEFORE the loop: a typo'd kind with count=0 must still be a
     # loud nonzero exit, never an empty-but-successful config stream (the
     # harnesses' fail-loudly contract).
-    if kind not in ('parity', 'resume'):
+    if kind not in ('parity', 'resume', 'parity2'):
         raise SystemExit('unknown generator kind: %r' % kind)
     if count <= 0:
         raise SystemExit('config count must be positive, got %d' % count)
@@ -44,6 +54,24 @@ def main():
             n = rng.randint(2, 256)
             steps = rng.randint(1, 500)
             print(n, steps, sharding(rng, n))
+        elif kind == 'parity2':
+            n = rng.randint(2, 256)
+            steps = rng.randint(1, 500)
+            kern = rng.choice(['', '--fast', '--pallas'])
+            procs = rng.choice([1, 1, 1, 2])
+            if procs == 2:
+                # The 2-process launcher owns the sharding (--devices=4 over
+                # the global gloo mesh, 2 virtual devices per process), so
+                # the draw only picks the collective family; N must admit 4
+                # shards, and steps are capped — each config pays two full
+                # process startups + compiles.
+                n = max(n, 4)
+                steps = min(steps, 200)
+                flags = (kern + ' '
+                         + rng.choice(['--comm=allgather', '--comm=ring']))
+            else:
+                flags = kern + ' ' + sharding(rng, n)
+            print(n, steps, procs, flags.strip())
         else:  # resume
             # Tighter than parity: each config costs THREE fp64 trig runs
             # (reference oracle + two engine legs).

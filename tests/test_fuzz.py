@@ -35,6 +35,40 @@ def test_fuzz_parity_two_random_configs(tmp_path):
     assert len(lines) == 2, proc.stdout + proc.stderr
 
 
+def _pick_parity2_seed():
+    """Find a seed whose 2-config parity2 draw covers the two NEW axes —
+    at least one PROCS=2 config (the jax.distributed launcher leg) and at
+    least one explicit kernel flag — while staying cheap (sum of N*steps
+    bounds the fp64 pair work).  Searching keeps the test robust to future
+    changes in fuzz_gen's draw order."""
+    for seed in range(1, 96):
+        cfgs = _gen("parity2", seed, 2)
+        cost = sum(int(c[0]) * int(c[1]) for c in cfgs)
+        if (any(c[2] == "2" for c in cfgs)
+                and any("--pallas" in c or "--fast" in c for c in cfgs)
+                and cost <= 12000):
+            return seed
+    pytest.fail("no seed in 1..95 gives 2 cheap parity2 configs covering a "
+                "2-process draw plus a kernel flag; widen the search range "
+                "or relax the coverage predicate")
+
+
+@pytest.mark.slow
+def test_fuzz_parity_v2_two_random_configs(tmp_path):
+    """bin/fuzz-parity-v2.sh — the variant/process-axis fuzz: configs drawn
+    by the parity2 generator run through the 2-process jax.distributed
+    launcher and/or a non-default kernel, byte-diffed against the reference
+    binary."""
+    if not os.access(REFBIN, os.X_OK):
+        pytest.skip("reference checkout unavailable")
+    seed = _pick_parity2_seed()
+    proc = _run_fuzz(2, seed, tmp_path, timeout=1800,
+                     script="fuzz-parity-v2.sh")
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("PASSED")]
+    assert len(lines) == 2, proc.stdout + proc.stderr
+
+
 def _pick_resume_seed():
     """Find a seed whose 2-config resume draw covers BOTH checkpoint
     formats (npz and orbax) AND at least one pipe-joined flag pair, so the
@@ -164,7 +198,8 @@ def test_fuzz_gen_validates_before_generating():
     # A typo'd kind or a zero count must be a nonzero exit even when the
     # loop would produce no lines (validation happens BEFORE the loop).
     for argv in (["parityy", "1", "0"], ["parityy", "1", "2"],
-                 ["parity", "1", "0"], ["resume", "1", "-3"]):
+                 ["parity", "1", "0"], ["resume", "1", "-3"],
+                 ["parity2", "1", "0"], ["parity22", "1", "2"]):
         proc = subprocess.run(
             ["python", os.path.join(REPO, "bin", "fuzz_gen.py")] + argv,
             capture_output=True, text=True, timeout=60)
