@@ -223,6 +223,18 @@ def _make_col_sweep(xi, yi, ri, irel, col_block_read, *, tile_i, tile_j,
     return sweep if biased else sweep_plain
 
 
+def _compute_dtype(dtype):
+    """In-kernel compute type: sub-32-bit inputs compute in float32.
+
+    bfloat16 is a STORAGE format here (halves the HBM traffic the streamed
+    kernel is bound by), never an accumulation type: Mosaic restricts
+    minor-dim-inserting reshapes to 32-bit types, the VPU's lanes are fp32
+    regardless, and summing O(N) force partials in an 8-bit mantissa would
+    swamp the signal.  fp32/fp64 pass through unchanged, so the parity
+    paths are byte-identical (astype to the same dtype is a no-op)."""
+    return jnp.float32 if jnp.dtype(dtype).itemsize < 4 else dtype
+
+
 def _acc_init(tile_i: int, dtype, accum: str):
     z = jnp.zeros((tile_i, 1), dtype)
     return (z, z, z, z) if accum == "compensated" else (z, z)
@@ -242,20 +254,20 @@ def _force_kernel(rg_ref, cg_ref,
                   biased: bool = True, accum: str = "plain"):
     i = pl.program_id(0)
     row0 = i * tile_i
-    dtype = xi_ref.dtype
+    cdt = _compute_dtype(xi_ref.dtype)
 
-    xi = xi_ref[0, pl.ds(row0, tile_i)].reshape(tile_i, 1)
-    yi = yi_ref[0, pl.ds(row0, tile_i)].reshape(tile_i, 1)
-    ri = ri_ref[0, pl.ds(row0, tile_i)].reshape(tile_i, 1)
+    xi = xi_ref[0, pl.ds(row0, tile_i)].astype(cdt).reshape(tile_i, 1)
+    yi = yi_ref[0, pl.ds(row0, tile_i)].astype(cdt).reshape(tile_i, 1)
+    ri = ri_ref[0, pl.ds(row0, tile_i)].astype(cdt).reshape(tile_i, 1)
     # Row indices relative to the column block's global start.
     r0_rel = rg_ref[0, 0] + row0 - cg_ref[0, 0]
     irel = r0_rel + lax.broadcasted_iota(jnp.int32, (tile_i, 1), 0)
 
     def col_read(c0):
-        return (xj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j),
-                yj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j),
-                mj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j),
-                rj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j))
+        return (xj_ref[0, pl.ds(c0, tile_j)].astype(cdt).reshape(1, tile_j),
+                yj_ref[0, pl.ds(c0, tile_j)].astype(cdt).reshape(1, tile_j),
+                mj_ref[0, pl.ds(c0, tile_j)].astype(cdt).reshape(1, tile_j),
+                rj_ref[0, pl.ds(c0, tile_j)].astype(cdt).reshape(1, tile_j))
 
     sweep = _make_col_sweep(xi, yi, ri, irel, col_read,
                             tile_i=tile_i, tile_j=tile_j, biased=biased,
@@ -263,10 +275,11 @@ def _force_kernel(rg_ref, cg_ref,
     n_tiles = n_cols // tile_j
     j1, j2 = _segment_bounds(r0_rel, tile_i, tile_j, n_tiles)
     acc_x, acc_y = _acc_finish(
-        sweep(j1, j2, n_tiles, _acc_init(tile_i, dtype, accum)))
+        sweep(j1, j2, n_tiles, _acc_init(tile_i, cdt, accum)))
 
     # Row factor G * m_i applied once after the reduction.
-    gmi = mi_ref[0, pl.ds(row0, tile_i)].reshape(tile_i, 1) * gravity
+    gmi = mi_ref[0, pl.ds(row0, tile_i)].astype(cdt).reshape(tile_i, 1) \
+        * gravity
     xf_ref[0, pl.ds(row0, tile_i)] = (acc_x * gmi).reshape(tile_i)
     yf_ref[0, pl.ds(row0, tile_i)] = (acc_y * gmi).reshape(tile_i)
 
@@ -297,6 +310,9 @@ def pallas_block_forces(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
     xi, yi, mi, ri = _pad_block(xi, yi, mi, ri, m_pad)
     xj, yj, mj, rj = _pad_block(xj, yj, mj, rj, k_pad)
     dtype = xi.dtype
+    # Forces come back in the COMPUTE dtype (fp32 for bf16 inputs — see
+    # _compute_dtype) and are cast to the run dtype outside the kernel.
+    cdt = _compute_dtype(dtype)
 
     kernel = functools.partial(
         _force_kernel, tile_i=tile_i, tile_j=tile_j, n_cols=k_pad,
@@ -309,8 +325,8 @@ def pallas_block_forces(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
         grid=(m_pad // tile_i,),
         in_specs=[smem, smem] + [vec] * 8,
         out_specs=(vec, vec),
-        out_shape=(jax.ShapeDtypeStruct((1, m_pad), dtype),
-                   jax.ShapeDtypeStruct((1, m_pad), dtype)),
+        out_shape=(jax.ShapeDtypeStruct((1, m_pad), cdt),
+                   jax.ShapeDtypeStruct((1, m_pad), cdt)),
         cost_estimate=pl.CostEstimate(
             flops=17 * m_pad * k_pad,
             bytes_accessed=(4 * m_pad + 4 * k_pad) * 4,
@@ -321,7 +337,8 @@ def pallas_block_forces(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
       mi.reshape(1, m_pad), ri.reshape(1, m_pad),
       xj.reshape(1, k_pad), yj.reshape(1, k_pad),
       mj.reshape(1, k_pad), rj.reshape(1, k_pad))
-    return xf.reshape(m_pad)[:m], yf.reshape(m_pad)[:m]
+    return (xf.reshape(m_pad)[:m].astype(dtype),
+            yf.reshape(m_pad)[:m].astype(dtype))
 
 
 def _force_kernel_streamed(rg_ref, cg_ref,
@@ -347,20 +364,20 @@ def _force_kernel_streamed(rg_ref, cg_ref,
     i = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
-    dtype = xi_ref.dtype
+    cdt = _compute_dtype(xi_ref.dtype)
 
-    xi = xi_ref[:].reshape(tile_i, 1)
-    yi = yi_ref[:].reshape(tile_i, 1)
-    ri = ri_ref[:].reshape(tile_i, 1)
+    xi = xi_ref[:].astype(cdt).reshape(tile_i, 1)
+    yi = yi_ref[:].astype(cdt).reshape(tile_i, 1)
+    ri = ri_ref[:].astype(cdt).reshape(tile_i, 1)
     # Row indices relative to THIS band's global start.
     r0_rel = (rg_ref[0, 0] + i * tile_i) - (cg_ref[0, 0] + j * band)
     irel = r0_rel + lax.broadcasted_iota(jnp.int32, (tile_i, 1), 0)
 
     def col_read(c0):
-        return (xj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j),
-                yj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j),
-                mj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j),
-                rj_ref[0, pl.ds(c0, tile_j)].reshape(1, tile_j))
+        return (xj_ref[0, pl.ds(c0, tile_j)].astype(cdt).reshape(1, tile_j),
+                yj_ref[0, pl.ds(c0, tile_j)].astype(cdt).reshape(1, tile_j),
+                mj_ref[0, pl.ds(c0, tile_j)].astype(cdt).reshape(1, tile_j),
+                rj_ref[0, pl.ds(c0, tile_j)].astype(cdt).reshape(1, tile_j))
 
     sweep = _make_col_sweep(xi, yi, ri, irel, col_read,
                             tile_i=tile_i, tile_j=tile_j, biased=biased,
@@ -368,7 +385,7 @@ def _force_kernel_streamed(rg_ref, cg_ref,
     n_sub = band // tile_j
     j1, j2 = _segment_bounds(r0_rel, tile_i, tile_j, n_sub)
     fx, fy = _acc_finish(sweep(j1, j2, n_sub,
-                               _acc_init(tile_i, dtype, accum)))
+                               _acc_init(tile_i, cdt, accum)))
     fx = fx.reshape(1, tile_i)
     fy = fy.reshape(1, tile_i)
 
@@ -393,7 +410,7 @@ def _force_kernel_streamed(rg_ref, cg_ref,
 
     @pl.when(j == nj - 1)
     def _():
-        gmi = mi_ref[:] * gravity
+        gmi = mi_ref[:].astype(cdt) * gravity
         xf_ref[:] *= gmi
         yf_ref[:] *= gmi
 
@@ -421,6 +438,10 @@ def pallas_block_forces_streamed(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
     xj, yj, mj, rj = _pad_block(xj, yj, mj, rj, k_pad)
     k = k_pad
     dtype = xi.dtype
+    # Output accumulator and Kahan scratch live in the COMPUTE dtype (fp32
+    # for bf16 inputs) — the cross-band revisited-output reduction must not
+    # round through an 8-bit mantissa.  Cast back at the end.
+    cdt = _compute_dtype(dtype)
 
     kernel = functools.partial(
         _force_kernel_streamed, tile_i=tile_i, tile_j=tile_j, band=band,
@@ -438,7 +459,7 @@ def pallas_block_forces_streamed(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
 
     # Cross-band Kahan compensation lives in VMEM scratch (persists across
     # the sequentially-executed grid on TPU).
-    scratch = ([pltpu.VMEM((1, tile_i), dtype)] * 2
+    scratch = ([pltpu.VMEM((1, tile_i), cdt)] * 2
                if accum == "compensated" else [])
 
     xf, yf = pl.pallas_call(
@@ -448,8 +469,8 @@ def pallas_block_forces_streamed(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
                   row_spec(), row_spec(), row_spec(), row_spec(),
                   col_spec(), col_spec(), col_spec(), col_spec()],
         out_specs=(row_spec(), row_spec()),
-        out_shape=(jax.ShapeDtypeStruct((1, m), dtype),
-                   jax.ShapeDtypeStruct((1, m), dtype)),
+        out_shape=(jax.ShapeDtypeStruct((1, m), cdt),
+                   jax.ShapeDtypeStruct((1, m), cdt)),
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=17 * m * k, bytes_accessed=(4 * m + 4 * k) * 4,
@@ -458,7 +479,8 @@ def pallas_block_forces_streamed(cfg, xi, yi, mi, ri, xj, yj, mj, rj, *,
     )(_as_scalar_arr(row_g0), _as_scalar_arr(col_g0),
       xi.reshape(1, m), yi.reshape(1, m), mi.reshape(1, m), ri.reshape(1, m),
       xj.reshape(1, k), yj.reshape(1, k), mj.reshape(1, k), rj.reshape(1, k))
-    return xf.reshape(m)[:m_orig], yf.reshape(m)[:m_orig]
+    return (xf.reshape(m)[:m_orig].astype(dtype),
+            yf.reshape(m)[:m_orig].astype(dtype))
 
 
 # Above 128K bodies the four (1, N) fp32 vectors plus the (tile_i, tile_j)
