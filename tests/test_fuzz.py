@@ -129,6 +129,9 @@ def test_fuzz_skips_cleanly_without_reference(tmp_path):
 PARITY_SWEEPS = [(20260818, 5), (42, 20), (777, 30), (918273, 2), (2026, 8),
                  (31337, 12)]
 RESUME_SWEEPS = [(20260818, 12), (2026, 4), (31337, 5)]
+# parity2 (round 5): the variant/process-axis generator — see
+# bin/fuzz-parity-v2.sh; records live in tests_out/fuzz_v2.
+PARITY2_SWEEPS = [(20260818, 24)]
 
 
 def _gen(kind, seed, count):
@@ -164,6 +167,18 @@ def test_recorded_sweeps_reproducible_from_generator_streams():
                                 sorted(expected - actual))
 
     expected = set()
+    for seed, count in PARITY2_SWEEPS:
+        for n, steps, procs, *flags in _gen("parity2", seed, count):
+            base = "fuzz_%s_%s_p%s_%s" % (n, steps, procs,
+                                          _mangle(" ".join(flags)))
+            expected.update(base + ext for ext in (".out", ".err", ".diff"))
+            expected.add("seq_%s_%s.out" % (n, steps))
+    actual = set(os.listdir(os.path.join(REPO, "tests_out", "fuzz_v2")))
+    actual.discard("arena.ppm")
+    assert actual == expected, (sorted(actual - expected),
+                                sorted(expected - actual))
+
+    expected = set()
     for n, total, split, fmt, f1, f2 in [c for s, c_ in RESUME_SWEEPS
                                          for c in _gen("resume", s, c_)]:
         base = ("resume_%s_%sof%s_%s_%s_%s"
@@ -177,7 +192,7 @@ def test_recorded_sweeps_reproducible_from_generator_streams():
     assert actual == expected, (sorted(actual - expected),
                                 sorted(expected - actual))
 
-    for d in ("fuzz", "fuzz_resume"):
+    for d in ("fuzz", "fuzz_v2", "fuzz_resume"):
         for f in os.listdir(os.path.join(REPO, "tests_out", d)):
             if f.endswith(".diff"):
                 path = os.path.join(REPO, "tests_out", d, f)
