@@ -127,11 +127,11 @@ def test_fuzz_skips_cleanly_without_reference(tmp_path):
 # the sweep directory before NBODY_FUZZ_OUT redirection existed; it is part
 # of the record and must stay reproducible like the deliberate sweeps.
 PARITY_SWEEPS = [(20260818, 5), (42, 20), (777, 30), (918273, 2), (2026, 8),
-                 (31337, 12)]
-RESUME_SWEEPS = [(20260818, 12), (2026, 4), (31337, 5)]
+                 (31337, 12), (555, 8)]
+RESUME_SWEEPS = [(20260818, 12), (2026, 4), (31337, 5), (555, 4)]
 # parity2 (round 5): the variant/process-axis generator — see
 # bin/fuzz-parity-v2.sh; records live in tests_out/fuzz_v2.
-PARITY2_SWEEPS = [(20260818, 24)]
+PARITY2_SWEEPS = [(20260818, 24), (555, 6)]
 
 
 def _gen(kind, seed, count):
