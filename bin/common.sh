@@ -107,3 +107,63 @@ fuzz_check_count() {
     return 1
   fi
 }
+
+# Two-leg checkpoint/resume fuzz loop, shared by bin/fuzz-resume.sh (the
+# sharding-axis stream) and bin/fuzz-resume-v2.sh (sharding + per-leg kernel
+# stream — both generators emit the same N TOTAL SPLIT FMT F1 F2 line shape).
+# Leg 1 runs to SPLIT under FLAGS1 and checkpoints; leg 2 resumes under the
+# independently drawn FLAGS2 and continues to TOTAL.  BOTH legs' stdout must
+# byte-match the reference binary's own uninterrupted runs at SPLIT and
+# TOTAL steps (reference driver nbody-seq.c:386-499).
+#   fuzz_resume_loop EXPECTED_COUNT    (consumes $CFGS; needs $REFBIN, $OUT)
+fuzz_resume_loop() {
+  local expected="$1" fail=0 ran=0
+  local N TOTAL SPLIT FMT FLAGS1 FLAGS2 ref_k ref_s base ck ok1 ok2
+  while read -r N TOTAL SPLIT FMT FLAGS1 FLAGS2; do
+    FLAGS1="${FLAGS1//|/ }"
+    FLAGS2="${FLAGS2//|/ }"
+    if ! ref_k=$(fuzz_oracle "$REFBIN" "$OUT/arena.ppm" "$OUT" "$N" "$SPLIT") \
+        || ! ref_s=$(fuzz_oracle "$REFBIN" "$OUT/arena.ppm" "$OUT" "$N" "$TOTAL")
+    then
+      echo "ORACLE GENERATION FAILED: N=$N steps=$SPLIT/$TOTAL"
+      fail=1
+      continue
+    fi
+    ran=$((ran + 1))
+    # Leg shardings go into the basename (like fuzz-parity's $FLAGS) so two
+    # configs sharing (N, TOTAL, SPLIT, FMT) can't clobber each other.
+    base="$OUT/resume_${N}_${SPLIT}of${TOTAL}_${FMT}_$(
+      printf '%s_%s' "$FLAGS1" "$FLAGS2" | tr ' =' '__')"
+    ck="$base.ck"
+    [ "$FMT" = npz ] && ck="$ck.npz"
+    # Register the checkpoint with the EXIT trap (fuzz_setup) so an interrupt
+    # mid-config can't leave un-ignored Orbax litter in the sweep directory.
+    FUZZ_SCRATCH=("$base.ck" "$base.ck.npz")
+    rm -rf "$base.ck" "$base.ck.npz"
+
+    nbody_cpu "$N" 0 "$OUT/arena.ppm" "$SPLIT" $FLAGS1 --checkpoint="$ck" \
+      < /dev/null > "$base.leg1.out" 2> "$base.leg1.err"
+    nbody_cpu "$N" 0 "$OUT/arena.ppm" "$TOTAL" $FLAGS2 --resume="$ck" \
+      < /dev/null > "$base.out" 2> "$base.err"
+
+    # Both diffs run unconditionally: a leg1 mismatch must not leave a stale
+    # or missing leg2 diff behind the FAILED pointer.
+    diff "$ref_k" "$base.leg1.out" > "$base.leg1.diff"; ok1=$?
+    diff "$ref_s" "$base.out" > "$base.diff"; ok2=$?
+    if [ "$ok1" -eq 0 ] && [ "$ok2" -eq 0 ]; then
+      echo "STATUS=PASSED" >> "$base.out"
+      echo "PASSED N=$N split=$SPLIT/$TOTAL $FMT [$FLAGS1] -> [$FLAGS2]"
+    else
+      # Casing matches bin/tests.sh's marker, which bin/failed-tests.sh greps.
+      echo "Status=FAILED" >> "$base.out"
+      echo "FAILED N=$N split=$SPLIT/$TOTAL $FMT [$FLAGS1] -> [$FLAGS2]" \
+           "(see $base.diff / $base.leg1.diff)"
+      fail=1
+    fi
+    rm -rf "$base.ck" "$base.ck.npz"  # checkpoints are large and reproducible
+    FUZZ_SCRATCH=()
+  done < "$CFGS"
+
+  fuzz_check_count "$ran" "$expected" || fail=1
+  return "$fail"
+}

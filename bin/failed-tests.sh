@@ -8,7 +8,8 @@ if grep -l "Status=FAILED" \
     "$REPO_ROOT"/tests_out/*_mynbody.test.out \
     "$REPO_ROOT"/tests_out/fuzz/*.out \
     "$REPO_ROOT"/tests_out/fuzz_v2/*.out \
-    "$REPO_ROOT"/tests_out/fuzz_resume/*.out 2>/dev/null; then
+    "$REPO_ROOT"/tests_out/fuzz_resume/*.out \
+    "$REPO_ROOT"/tests_out/fuzz_resume_v2/*.out 2>/dev/null; then
   exit 1
 fi
 echo "All tests passed."

@@ -8,6 +8,7 @@ what a recorded seed covers.
     python bin/fuzz_gen.py parity SEED COUNT   # lines: N STEPS FLAGS...
     python bin/fuzz_gen.py resume SEED COUNT   # lines: N TOTAL SPLIT FMT F1 F2
     python bin/fuzz_gen.py parity2 SEED COUNT  # lines: N STEPS PROCS FLAGS...
+    python bin/fuzz_gen.py resume2 SEED COUNT  # resume + per-leg kernel draw
 
 ``parity2`` (VERDICT r4 #3) extends the parity draw with the two axes the
 original generator fixed: the KERNEL VARIANT (trig default / --fast /
@@ -17,6 +18,13 @@ recorded NP-grid) and the PROCESS COUNT (PROCS=2 configs run under the
 distributed runtime's rank-0 output is fuzz-diffed against the reference
 binary).  It is a NEW kind rather than a change to ``parity`` because the
 committed tests_out/fuzz records pin the original stream byte-for-byte.
+
+``resume2`` applies the same variant axis to the checkpoint/resume fuzz:
+each LEG independently draws a kernel (trig / --fast / --pallas) on top of
+its sharding, so a checkpoint written under one kernel is resumed under
+another — checkpoints must be kernel-agnostic state, and every cross-kernel
+hand-off must still byte-match the reference binary's uninterrupted runs.
+Again a new kind: the tests_out/fuzz_resume records pin ``resume``'s stream.
 
 Sharding constraints mirror the CLI's: shards are capped by the body count
 (the CLI rejects devices > N with a friendly error by design), and the 2-D
@@ -42,7 +50,7 @@ def main():
     # Validate BEFORE the loop: a typo'd kind with count=0 must still be a
     # loud nonzero exit, never an empty-but-successful config stream (the
     # harnesses' fail-loudly contract).
-    if kind not in ('parity', 'resume', 'parity2'):
+    if kind not in ('parity', 'resume', 'parity2', 'resume2'):
         raise SystemExit('unknown generator kind: %r' % kind)
     if count <= 0:
         raise SystemExit('config count must be positive, got %d' % count)
@@ -72,17 +80,27 @@ def main():
             else:
                 flags = kern + ' ' + sharding(rng, n)
             print(n, steps, procs, flags.strip())
-        else:  # resume
-            # Tighter than parity: each config costs THREE fp64 trig runs
+        else:  # resume / resume2
+            # Tighter than parity: each config costs THREE fp64 runs
             # (reference oracle + two engine legs).
             n = rng.randint(2, 200)
             total = rng.randint(2, 300)
             split = rng.randint(1, total - 1)
             fmt = rng.choice(['npz', 'orbax'])
+
+            def leg():
+                flags = sharding(rng, n)
+                if kind == 'resume2':
+                    # Kernel drawn AFTER the sharding so resume2's streams
+                    # share nothing positional with resume's; legs draw
+                    # independently, so cross-kernel hand-offs (e.g.
+                    # checkpoint under --pallas, resume under trig) occur.
+                    kern = rng.choice(['', '--fast', '--pallas'])
+                    flags = (kern + ' ' + flags).strip()
+                return flags.replace(' ', '|')
+
             # One config line; legs' flags are | -separated (no spaces).
-            print(n, total, split, fmt,
-                  sharding(rng, n).replace(' ', '|'),
-                  sharding(rng, n).replace(' ', '|'))
+            print(n, total, split, fmt, leg(), leg())
 
 
 if __name__ == '__main__':

@@ -99,6 +99,42 @@ def test_fuzz_resume_two_random_configs(tmp_path):
     assert len(lines) == 2, proc.stdout + proc.stderr
 
 
+def _pick_resume2_seed():
+    """Find a seed whose 2-config resume2 draw exercises the NEW axis for
+    real — at least one CROSS-KERNEL hand-off (the two legs' kernel flags
+    differ, so the checkpoint is written under one kernel and resumed under
+    another) — while staying cheap (total fp64 pair work bounded).
+    Searching keeps the test robust to changes in fuzz_gen's draw order."""
+    def kern(leg):
+        flags = leg.split("|")
+        return next((f for f in flags if f in ("--fast", "--pallas")), "")
+
+    for seed in range(1, 96):
+        cfgs = _gen("resume2", seed, 2)
+        cost = sum(int(c[0]) * int(c[1]) for c in cfgs)
+        if (any(kern(c[4]) != kern(c[5]) for c in cfgs) and cost <= 24000):
+            return seed
+    pytest.fail("no seed in 1..95 gives 2 cheap resume2 configs covering a "
+                "cross-kernel checkpoint hand-off; widen the search range "
+                "or relax the coverage predicate")
+
+
+@pytest.mark.slow
+def test_fuzz_resume_v2_two_random_configs(tmp_path):
+    """bin/fuzz-resume-v2.sh — the kernel-variant-axis resume fuzz: each leg
+    draws its own kernel (trig/--fast/--pallas) on top of its sharding, so a
+    checkpoint written under one kernel is resumed under another; both legs
+    byte-diffed against the reference binary's uninterrupted runs."""
+    if not os.access(REFBIN, os.X_OK):
+        pytest.skip("reference checkout unavailable")
+    seed = _pick_resume2_seed()
+    proc = _run_fuzz(2, seed, tmp_path, timeout=1200,
+                     script="fuzz-resume-v2.sh")
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("PASSED")]
+    assert len(lines) == 2, proc.stdout + proc.stderr
+
+
 def test_fuzz_resume_skips_cleanly_without_reference(tmp_path):
     env = dict(os.environ)
     env["NBODY_REF_BIN"] = str(tmp_path / "missing-binary")
@@ -132,6 +168,9 @@ RESUME_SWEEPS = [(20260818, 12), (2026, 4), (31337, 5), (555, 4)]
 # parity2 (round 5): the variant/process-axis generator — see
 # bin/fuzz-parity-v2.sh; records live in tests_out/fuzz_v2.
 PARITY2_SWEEPS = [(20260818, 24), (555, 6)]
+# resume2 (round 5): per-leg kernel draw on the resume fuzz — see
+# bin/fuzz-resume-v2.sh; records live in tests_out/fuzz_resume_v2.
+RESUME2_SWEEPS = [(20260818, 16)]
 
 
 def _gen(kind, seed, count):
@@ -178,21 +217,25 @@ def test_recorded_sweeps_reproducible_from_generator_streams():
     assert actual == expected, (sorted(actual - expected),
                                 sorted(expected - actual))
 
-    expected = set()
-    for n, total, split, fmt, f1, f2 in [c for s, c_ in RESUME_SWEEPS
-                                         for c in _gen("resume", s, c_)]:
-        base = ("resume_%s_%sof%s_%s_%s_%s"
-                % (n, split, total, fmt, _mangle(f1), _mangle(f2)))
-        expected.update(base + ext for ext in (
-            ".out", ".err", ".diff", ".leg1.out", ".leg1.err", ".leg1.diff"))
-        expected.add("seq_%s_%s.out" % (n, split))
-        expected.add("seq_%s_%s.out" % (n, total))
-    actual = set(os.listdir(os.path.join(REPO, "tests_out", "fuzz_resume")))
-    actual.discard("arena.ppm")
-    assert actual == expected, (sorted(actual - expected),
-                                sorted(expected - actual))
+    for kind, sweeps, subdir in (("resume", RESUME_SWEEPS, "fuzz_resume"),
+                                 ("resume2", RESUME2_SWEEPS,
+                                  "fuzz_resume_v2")):
+        expected = set()
+        for n, total, split, fmt, f1, f2 in [c for s, c_ in sweeps
+                                             for c in _gen(kind, s, c_)]:
+            base = ("resume_%s_%sof%s_%s_%s_%s"
+                    % (n, split, total, fmt, _mangle(f1), _mangle(f2)))
+            expected.update(base + ext for ext in (
+                ".out", ".err", ".diff",
+                ".leg1.out", ".leg1.err", ".leg1.diff"))
+            expected.add("seq_%s_%s.out" % (n, split))
+            expected.add("seq_%s_%s.out" % (n, total))
+        actual = set(os.listdir(os.path.join(REPO, "tests_out", subdir)))
+        actual.discard("arena.ppm")
+        assert actual == expected, (subdir, sorted(actual - expected),
+                                    sorted(expected - actual))
 
-    for d in ("fuzz", "fuzz_v2", "fuzz_resume"):
+    for d in ("fuzz", "fuzz_v2", "fuzz_resume", "fuzz_resume_v2"):
         for f in os.listdir(os.path.join(REPO, "tests_out", d)):
             if f.endswith(".diff"):
                 path = os.path.join(REPO, "tests_out", d, f)
@@ -214,7 +257,8 @@ def test_fuzz_gen_validates_before_generating():
     # loop would produce no lines (validation happens BEFORE the loop).
     for argv in (["parityy", "1", "0"], ["parityy", "1", "2"],
                  ["parity", "1", "0"], ["resume", "1", "-3"],
-                 ["parity2", "1", "0"], ["parity22", "1", "2"]):
+                 ["parity2", "1", "0"], ["parity22", "1", "2"],
+                 ["resume2", "1", "0"], ["resume22", "1", "2"]):
         proc = subprocess.run(
             ["python", os.path.join(REPO, "bin", "fuzz_gen.py")] + argv,
             capture_output=True, text=True, timeout=60)
