@@ -26,9 +26,11 @@ another — checkpoints must be kernel-agnostic state, and every cross-kernel
 hand-off must still byte-match the reference binary's uninterrupted runs.
 Again a new kind: the tests_out/fuzz_resume records pin ``resume``'s stream.
 
-Sharding constraints mirror the CLI's: shards are capped by the body count
-(the CLI rejects devices > N with a friendly error by design), and the 2-D
-mesh needs N >= 16 so every row/col group owns at least one body.
+Sharding draws are conservatively capped by the body count (devices <= N,
+2-D mesh only at N >= 16).  The engine handles oversubscribed meshes fine —
+empty shards are just padding, byte-verified vs the reference at N=4 on 8
+shards and N=5 on a 2x4 grid — but the caps are LOAD-BEARING for the
+committed records: loosening them would change every pinned stream.
 """
 
 import random

@@ -116,6 +116,37 @@ def test_padding_stays_parked_grid2d():
     np.testing.assert_array_equal(np.asarray(out.y[n_real:]), 1e9)
 
 
+def test_oversubscribed_mesh_empty_shards_exact(seq_output_small):
+    """More shards than bodies is legal, not an error: pad_state rounds N=4
+    up to the 8-device shard multiple, the surplus shards own only parked
+    padding bodies, and the result still byte-matches the single-device
+    fp64 run (byte-verified against the reference binary itself at this
+    config during round-5 probing).  Guards the claim in bin/fuzz_gen.py
+    that the generator's devices<=N cap is conservatism, not a CLI limit."""
+    for comm in ("allgather", "ring"):
+        out = _run_sharded(8, comm, n=4, steps=STEPS)
+        assert format_state(out) == seq_output_small, comm
+
+
+def test_oversubscribed_grid2d_exact(seq_output_small):
+    """Grid2d analog: a 2x4 grid over N=4 leaves whole row/col groups with
+    nothing but padding; output must stay exact."""
+    from parallel_nbody_tpu.parallel.grid2d import (make_grid2d_run,
+                                                    make_mesh2d,
+                                                    shard_state_2d)
+    mesh = make_mesh2d(2, 4)
+    st = init_state(4, CFG)
+    padded, n_real = pad_state(st, 8)
+    padded = shard_state_2d(padded, mesh)
+    out = jax.device_get(make_grid2d_run(CFG, mesh, STEPS)(padded))
+    assert format_state(unpad_state(out, n_real)) == seq_output_small
+
+
+@pytest.fixture(scope="module")
+def seq_output_small():
+    return format_state(run(CFG, init_state(4, CFG), STEPS))
+
+
 def test_device_grid_covers_all_devices_once():
     """device_grid must be a permutation of the requested devices in the
     requested shape, whether mesh_utils has a topology assignment (real TPU
