@@ -615,7 +615,15 @@ def main(argv=None) -> int:
         state = unpad_state(state, n_real)
 
     if opts["checkpoint"] and not ckpt_orbax and rank0:
-        ckpt.save_state(opts["checkpoint"], state, done_steps)
+        try:
+            ckpt.save_state(opts["checkpoint"], state, done_steps)
+        except OSError as e:
+            # Same contract as the Orbax guard above: a failed save (e.g. a
+            # missing parent directory) must not crash the driver into a
+            # traceback after the whole simulation ran — report it and
+            # still deliver the run's output below.
+            sys.stderr.write("Cannot checkpoint to %s: %s\n"
+                             % (opts["checkpoint"], e))
 
     if opts["check_nans"]:
         from .utils.debug import validate_state

@@ -51,6 +51,16 @@ def save_state_orbax(path: str, state: State, step: int,
 
     import orbax.checkpoint as ocp
 
+    if os.path.exists(path) and not os.path.isdir(path):
+        # Orbax's force=True save REPLACES whatever sits at the target path
+        # — handed an existing regular file (say the arena PPM), it would
+        # silently delete it and write a directory in its place.  Only a
+        # directory (a previous checkpoint) is a legitimate overwrite
+        # target; anything else is almost certainly a user mistake.
+        raise ValueError(
+            "refusing to replace existing non-directory file with an Orbax "
+            "checkpoint directory (use a .npz suffix for a single-file "
+            "snapshot)")
     with ocp.PyTreeCheckpointer() as ckptr:
         # force: overwrite an existing checkpoint at the same path, matching
         # the .npz path's re-run semantics (np.savez silently overwrites).

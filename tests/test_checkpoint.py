@@ -118,3 +118,59 @@ def test_cli_orbax_save_failure_is_guarded(tmp_path, monkeypatch, capsys):
     assert rc == 0
     assert "Cannot checkpoint to" in out.err
     assert len(out.out.splitlines()) == 4  # the result still printed
+
+
+def test_orbax_save_refuses_to_replace_regular_file(tmp_path):
+    """Orbax's force=True save would silently DELETE an existing regular
+    file at the target path (say the arena PPM) and write a checkpoint
+    directory in its place — save_state_orbax must refuse instead (round-5
+    probe finding)."""
+    import pytest
+
+    from parallel_nbody_tpu.utils.checkpoint import save_state_orbax
+
+    victim = tmp_path / "precious.txt"
+    victim.write_text("do not eat")
+    st = init_state(4, CFG)
+    with pytest.raises(ValueError, match="refusing to replace"):
+        save_state_orbax(str(victim), st, 1)
+    assert victim.read_text() == "do not eat"  # untouched
+
+
+def test_cli_orbax_checkpoint_to_existing_file_is_loud_and_safe(tmp_path,
+                                                               capsys):
+    """Through the CLI the refusal surfaces as the standard "Cannot
+    checkpoint" report (run output still delivered, file still intact)."""
+    from parallel_nbody_tpu import cli
+    from parallel_nbody_tpu.utils import ppm
+
+    arena = str(tmp_path / "arena.ppm")
+    ppm.create(arena, 64, 48)
+    before = open(arena, "rb").read()
+    rc = cli.main(["nbody", "4", "0", arena, "1",
+                   "--checkpoint=%s" % arena,  # existing FILE, no .npz
+                   "--devices=1", "--dtype=float64"])
+    out = capsys.readouterr()
+    assert rc == 0
+    assert "Cannot checkpoint to" in out.err
+    assert len(out.out.splitlines()) == 4
+    assert open(arena, "rb").read() == before  # arena survived
+
+
+def test_cli_npz_save_failure_is_guarded(tmp_path, capsys):
+    """An npz checkpoint into a missing parent directory must not crash the
+    driver into a traceback after the whole simulation ran (round-5 probe
+    finding) — same contract as the Orbax guard: report and still deliver
+    the run's output."""
+    from parallel_nbody_tpu import cli
+    from parallel_nbody_tpu.utils import ppm
+
+    arena = str(tmp_path / "arena.ppm")
+    ppm.create(arena, 64, 48)
+    rc = cli.main(["nbody", "4", "0", arena, "1",
+                   "--checkpoint=%s" % str(tmp_path / "no" / "parent.npz"),
+                   "--devices=1", "--dtype=float64"])
+    out = capsys.readouterr()
+    assert rc == 0
+    assert "Cannot checkpoint to" in out.err
+    assert len(out.out.splitlines()) == 4  # the result still printed
