@@ -58,6 +58,7 @@ from __future__ import annotations
 
 import sys
 import time
+import zipfile
 
 import numpy as np
 
@@ -343,7 +344,10 @@ def main(argv=None) -> int:
             else:
                 state, start_step = ckpt.load_state(opts["resume"], cfg)
                 n_ck = state.n
-        except (OSError, ValueError, KeyError) as e:
+        except (OSError, ValueError, KeyError, EOFError,
+                zipfile.BadZipFile) as e:
+            # EOFError / BadZipFile: numpy's npz loader raises these (not
+            # OSError) for truncated or corrupted archives.
             sys.stderr.write("Cannot resume from %s: %s\n"
                              % (opts["resume"], e))
             return 1

@@ -214,6 +214,27 @@ def test_resume_missing_path_fails_loudly(arena):
     assert "Traceback" not in r.stderr
 
 
+def test_resume_corrupt_npz_fails_loudly(arena, tmp_path):
+    # A truncated .npz raises EOFError (and a corrupted zip BadZipFile) from
+    # numpy's loader — neither is an OSError, so the resume guard must catch
+    # them explicitly or the user sees a raw traceback.
+    ck = tmp_path / "ck.npz"
+    saved = run_cli(["16", "0", arena, "5", f"--checkpoint={ck}"])
+    assert saved.returncode == 0, saved.stderr[-2000:]
+    trunc = tmp_path / "ck_trunc.npz"
+    trunc.write_bytes(ck.read_bytes()[:40])
+    r = run_cli(["16", "0", arena, "5", f"--resume={trunc}"])
+    assert r.returncode == 1
+    assert "Cannot resume" in r.stderr
+    assert "Traceback" not in r.stderr
+    garbage = tmp_path / "garbage.npz"
+    garbage.write_bytes(b"PK\x03\x04 not actually a zip archive")
+    r2 = run_cli(["16", "0", arena, "5", f"--resume={garbage}"])
+    assert r2.returncode == 1
+    assert "Cannot resume" in r2.stderr
+    assert "Traceback" not in r2.stderr
+
+
 def test_resume_non_checkpoint_dir_fails_loudly(arena, tmp_path):
     # An existing directory that is NOT an Orbax checkpoint must produce the
     # friendly error, not an AttributeError from Orbax internals.
