@@ -167,10 +167,10 @@ PARITY_SWEEPS = [(20260818, 5), (42, 20), (777, 30), (918273, 2), (2026, 8),
 RESUME_SWEEPS = [(20260818, 12), (2026, 4), (31337, 5), (555, 4)]
 # parity2 (round 5): the variant/process-axis generator — see
 # bin/fuzz-parity-v2.sh; records live in tests_out/fuzz_v2.
-PARITY2_SWEEPS = [(20260818, 24), (555, 6)]
+PARITY2_SWEEPS = [(20260818, 24), (555, 6), (9090, 6)]
 # resume2 (round 5): per-leg kernel draw on the resume fuzz — see
 # bin/fuzz-resume-v2.sh; records live in tests_out/fuzz_resume_v2.
-RESUME2_SWEEPS = [(20260818, 16)]
+RESUME2_SWEEPS = [(20260818, 16), (2468, 4)]
 
 
 def _gen(kind, seed, count):
